@@ -1,0 +1,152 @@
+"""Ball query — fixed-radius neighborhood gathering, TPU-native.
+
+Replaces the reference CUDA kernel
+(`external/pointnet2_ops_lib/pointnet2_ops/_ext-src/src/ball_query_gpu.cu:9-44`).
+
+Reference semantics (preserved exactly):
+- for each query center, return the indices of the first (in point-index
+  order) <= nsample points with squared distance < radius^2,
+- when the first in-radius point is found, ALL nsample slots are initialised
+  with its index (first-hit padding, `ball_query_gpu.cu:33-41`),
+- if no point is in radius, the row stays 0 (the output buffer is
+  zero-initialised by the host wrapper `ball_query.cpp`).
+
+TPU design:
+1. the pairwise distance is a rank-3 contraction (centers @ points^T on the
+   MXU) instead of a scalar scan;
+2. "first <= nsample indices where mask" exploits that candidate keys are
+   *point indices*, which are already sorted within every 128-lane block:
+   per-block popcounts + a cumulative count + a per-slot binary search
+   (searchsorted) locate each slot's block, and a lane-rank match finds the
+   lane — ~3 vector passes over the mask, no top-k / sort anywhere (top_k
+   over 80k keys measured ~70x slower on v5e).
+Memory is bounded by chunking query centers through ``lax.map``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_LANE = 128
+# Max transient distance-matrix elements per chunk (f32): keeps the
+# materialised (chunk, N) slab ~64 MB at scene scale.
+_MAX_CHUNK_ELEMS = 16 * 1024 * 1024
+
+
+def _first_k_true(mask: jax.Array, k: int) -> jax.Array:
+    """Indices of the first k True lanes per row, first-hit padded.
+
+    mask: (C, N) bool with N a multiple of 128. Returns (C, k) int32;
+    rows with no True lanes return all-zero (reference no-hit semantics).
+
+    Every reduction and gather is phrased as an MXU contraction (lane
+    popcount, block search, block gather, in-block rank) — cross-lane VPU
+    reductions and dynamic gathers measured 10-40x slower on v5e.
+    """
+    C, N = mask.shape
+    nb = N // _LANE
+    mf = mask.reshape(C, nb, _LANE).astype(jnp.float32)
+    ones_l = jnp.ones((_LANE,), jnp.float32)
+    # per-block popcount via lane contraction
+    cnt = jnp.einsum("cbl,l->cb", mf, ones_l, preferred_element_type=jnp.float32)
+    cum = jnp.cumsum(cnt, axis=-1)  # (C, nb) float (exact: counts < 2^24)
+    slots = jnp.arange(1, k + 1, dtype=jnp.float32)
+
+    # block index of the s-th hit: number of blocks with cum < s
+    cmp = (cum[:, :, None] < slots[None, None, :]).astype(jnp.float32)
+    block = jnp.einsum(
+        "cbs,b->cs", cmp, jnp.ones((nb,), jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # (C, k) float; == nb when fewer than s hits exist
+    blockc = jnp.minimum(block, nb - 1)
+
+    # gather the target block's lanes and the previous cumulative count via
+    # one-hot contraction
+    blk_ids = jnp.arange(nb, dtype=jnp.float32)
+    onehot = (blockc[:, :, None] == blk_ids[None, None, :]).astype(jnp.float32)
+    mblk = jnp.einsum(
+        "csb,cbl->csl", onehot, mf, preferred_element_type=jnp.float32
+    )  # (C, k, LANE)
+    cum_prev = jnp.concatenate([jnp.zeros((C, 1), jnp.float32), cum[:, :-1]], axis=1)
+    # cum_prev holds counts up to N (> bf16 integer range): contract the
+    # high/low 8-bit halves separately so each operand stays bf16-exact
+    hi = jnp.floor(cum_prev / 256.0)
+    lo = cum_prev - hi * 256.0
+    prev = 256.0 * jnp.einsum(
+        "csb,cb->cs", onehot, hi, preferred_element_type=jnp.float32
+    ) + jnp.einsum("csb,cb->cs", onehot, lo, preferred_element_type=jnp.float32)
+    offset = slots[None, :] - prev - 1.0  # 0-based rank within block
+
+    # in-block rank via triangular contraction: rank[k] = sum_{l<=k} m[l] - 1
+    triu = jnp.triu(jnp.ones((_LANE, _LANE), jnp.float32))
+    lane_rank = (
+        jnp.einsum("csl,lk->csk", mblk, triu, preferred_element_type=jnp.float32)
+        - 1.0
+    )
+    indicator = mblk * (jnp.abs(lane_rank - offset[..., None]) < 0.5)
+    lane_ids = jnp.arange(_LANE, dtype=jnp.float32)
+    lane = jnp.einsum(
+        "csl,l->cs", indicator, lane_ids, preferred_element_type=jnp.float32
+    )
+    hit = (
+        jnp.einsum("csl,l->cs", indicator, ones_l, preferred_element_type=jnp.float32)
+        > 0.5
+    )
+    idx = (blockc * _LANE + lane).astype(jnp.int32)
+    first = jnp.where(hit[:, :1], idx[:, :1], 0)
+    return jnp.where(hit, idx, first)
+
+
+def _ball_query_single(xyz, new_xyz, radius, nsample):
+    """xyz (N, 3), new_xyz (M, 3) -> (M, nsample) int32."""
+    N = xyz.shape[0]
+    M = new_xyz.shape[0]
+    n_pad = -(-N // _LANE) * _LANE
+    p2 = jnp.sum(xyz * xyz, axis=-1)  # (N,)
+
+    def chunk_fn(centers):  # (C, 3) -> (C, nsample)
+        c2 = jnp.sum(centers * centers, axis=-1)  # (C,)
+        cross = jnp.dot(centers, xyz.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        d2 = c2[:, None] + p2[None, :] - 2.0 * cross  # (C, N)
+        mask = d2 < radius * radius
+        mask = jnp.pad(mask, ((0, 0), (0, n_pad - N)))
+        return _first_k_true(mask, nsample)
+
+    chunk = max(1, min(M, _MAX_CHUNK_ELEMS // max(N, 1)))
+    if chunk >= M:
+        return chunk_fn(new_xyz)
+    n_chunks = -(-M // chunk)
+    pad = n_chunks * chunk - M
+    centers = jnp.pad(new_xyz, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+    out = jax.lax.map(chunk_fn, centers).reshape(n_chunks * chunk, nsample)
+    return out[:M]
+
+
+def ball_query(
+    xyz: jax.Array, new_xyz: jax.Array, radius: float, nsample: int
+) -> jax.Array:
+    """Batched ball query.
+
+    Args:
+      xyz: (B, N, 3) points to search.
+      new_xyz: (B, M, 3) query centers.
+      radius: search radius (static).
+      nsample: max neighbors per center (static).
+
+    Returns:
+      (B, M, nsample) int32 indices into N (first-hit padded).
+    """
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    if B * M * N <= _MAX_CHUNK_ELEMS:
+        return jax.vmap(lambda x, c: _ball_query_single(x, c, radius, nsample))(
+            xyz, new_xyz
+        )
+    return jax.lax.map(
+        lambda args: _ball_query_single(args[0], args[1], radius, nsample),
+        (xyz, new_xyz),
+    )
