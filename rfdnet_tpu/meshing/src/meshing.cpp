@@ -1,0 +1,367 @@
+// rfdnet_tpu native meshing library.
+//
+// Host-side geometry the reference delegates to external C/CUDA/Cython
+// packages (PyMCubes, libvoxelize/tribox2.h SAT tests, libmesh triangle-hash
+// containment, binvox): iso-surface extraction, surface voxelization,
+// interior fill, and point-in-mesh testing. Exposed through a plain C ABI
+// consumed via ctypes (no pybind11 in this toolchain).
+//
+// Iso-surface extraction uses marching tetrahedra (6-tetra cube split):
+// table-free, watertight on shared faces, same vertex-interpolation
+// convention as marching cubes (vertices in grid-index space).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <deque>
+#include <algorithm>
+#include <unordered_map>
+
+namespace {
+
+struct V3 {
+  double x, y, z;
+};
+
+// ---------------------------------------------------------------- MT core
+struct MeshAcc {
+  std::vector<double> verts;
+  std::vector<int> tris;
+  std::unordered_map<uint64_t, int> edge_cache;
+
+  int edge_vertex(uint64_t key_a, uint64_t key_b, const V3 &pa, const V3 &pb,
+                  double va, double vb, double iso) {
+    uint64_t key = key_a < key_b ? (key_a << 32) | key_b : (key_b << 32) | key_a;
+    auto it = edge_cache.find(key);
+    if (it != edge_cache.end()) return it->second;
+    double t = (iso - va) / (vb - va);
+    if (!(t >= 0.0)) t = 0.0;
+    if (!(t <= 1.0)) t = 1.0;
+    int idx = (int)(verts.size() / 3);
+    verts.push_back(pa.x + t * (pb.x - pa.x));
+    verts.push_back(pa.y + t * (pb.y - pa.y));
+    verts.push_back(pa.z + t * (pb.z - pa.z));
+    edge_cache.emplace(key, idx);
+    return idx;
+  }
+};
+
+inline uint64_t node_key(int x, int y, int z, int ny, int nz) {
+  return ((uint64_t)x * ny + y) * nz + z;
+}
+
+void do_tetra(MeshAcc &acc, const uint64_t keys[4], const V3 pos[4],
+              const double val[4], double iso) {
+  int mask = 0;
+  for (int i = 0; i < 4; ++i)
+    if (val[i] > iso) mask |= 1 << i;
+  if (mask == 0 || mask == 15) return;
+
+  auto ev = [&](int a, int b) {
+    return acc.edge_vertex(keys[a], keys[b], pos[a], pos[b], val[a], val[b], iso);
+  };
+  auto tri = [&](int a, int b, int c) {
+    acc.tris.push_back(a);
+    acc.tris.push_back(b);
+    acc.tris.push_back(c);
+  };
+
+  switch (mask) {
+    case 1: tri(ev(0,1), ev(0,2), ev(0,3)); break;
+    case 14: tri(ev(0,1), ev(0,3), ev(0,2)); break;
+    case 2: tri(ev(1,0), ev(1,3), ev(1,2)); break;
+    case 13: tri(ev(1,0), ev(1,2), ev(1,3)); break;
+    case 4: tri(ev(2,0), ev(2,1), ev(2,3)); break;
+    case 11: tri(ev(2,0), ev(2,3), ev(2,1)); break;
+    case 8: tri(ev(3,0), ev(3,2), ev(3,1)); break;
+    case 7: tri(ev(3,0), ev(3,1), ev(3,2)); break;
+    case 3:  // 0,1 inside
+      tri(ev(0,2), ev(1,3), ev(0,3));
+      tri(ev(0,2), ev(1,2), ev(1,3));
+      break;
+    case 12:
+      tri(ev(0,2), ev(0,3), ev(1,3));
+      tri(ev(0,2), ev(1,3), ev(1,2));
+      break;
+    case 5:  // 0,2 inside
+      tri(ev(0,1), ev(0,3), ev(2,3));
+      tri(ev(0,1), ev(2,3), ev(2,1));
+      break;
+    case 10:
+      tri(ev(0,1), ev(2,3), ev(0,3));
+      tri(ev(0,1), ev(2,1), ev(2,3));
+      break;
+    case 9:  // 0,3 inside
+      tri(ev(0,1), ev(1,3), ev(2,3));
+      tri(ev(0,1), ev(2,3), ev(0,2));
+      break;
+    case 6:
+      tri(ev(0,1), ev(2,3), ev(1,3));
+      tri(ev(0,1), ev(0,2), ev(2,3));
+      break;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Marching tetrahedra over a dense (nx, ny, nz) float32 grid (C order,
+// z fastest). Vertices come back in index space [0, n-1]. Two-call-free
+// interface: the library owns the buffers until mesh_free.
+int mt_extract(const float *grid, int nx, int ny, int nz, float iso,
+               double **out_verts, int **out_tris, int *out_nv, int *out_nt) {
+  MeshAcc acc;
+  auto val_at = [&](int x, int y, int z) {
+    return (double)grid[((size_t)x * ny + y) * nz + z];
+  };
+  // corner offsets in c = dx*4 + dy*2 + dz encoding
+  static const int CO[8][3] = {{0,0,0},{0,0,1},{0,1,0},{0,1,1},
+                               {1,0,0},{1,0,1},{1,1,0},{1,1,1}};
+  // 6-tetra split of the cube around main diagonal 0-7
+  static const int TET[6][4] = {
+      {0,7,3,1},{0,7,1,5},{0,7,5,4},{0,7,4,6},{0,7,6,2},{0,7,2,3}};
+  for (int x = 0; x < nx - 1; ++x)
+    for (int y = 0; y < ny - 1; ++y)
+      for (int z = 0; z < nz - 1; ++z) {
+        double cv[8];
+        uint64_t ck[8];
+        V3 cp[8];
+        bool any_in = false, any_out = false;
+        for (int c = 0; c < 8; ++c) {
+          int cx = x + CO[c][0], cy = y + CO[c][1], cz = z + CO[c][2];
+          cv[c] = val_at(cx, cy, cz);
+          ck[c] = node_key(cx, cy, cz, ny, nz);
+          cp[c] = V3{(double)cx, (double)cy, (double)cz};
+          (cv[c] > iso ? any_in : any_out) = true;
+        }
+        if (!any_in || !any_out) continue;
+        for (int t = 0; t < 6; ++t) {
+          uint64_t keys[4];
+          V3 pos[4];
+          double val[4];
+          for (int i = 0; i < 4; ++i) {
+            keys[i] = ck[TET[t][i]];
+            pos[i] = cp[TET[t][i]];
+            val[i] = cv[TET[t][i]];
+          }
+          do_tetra(acc, keys, pos, val, iso);
+        }
+      }
+  *out_nv = (int)(acc.verts.size() / 3);
+  *out_nt = (int)(acc.tris.size() / 3);
+  double *v = new double[acc.verts.size()];
+  int *t = new int[acc.tris.size()];
+  std::memcpy(v, acc.verts.data(), acc.verts.size() * sizeof(double));
+  std::memcpy(t, acc.tris.data(), acc.tris.size() * sizeof(int));
+  *out_verts = v;
+  *out_tris = t;
+  return 0;
+}
+
+void mesh_free(double *verts, int *tris) {
+  delete[] verts;
+  delete[] tris;
+}
+
+// ------------------------------------------------------------ voxelizer
+// Triangle/AABB SAT overlap (the tribox2.h test of `external/libvoxelize`,
+// reimplemented from the separating-axis theorem).
+static bool tri_box_overlap(const double c[3], const double h[3],
+                            const double tv[3][3]) {
+  double v[3][3];
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) v[i][j] = tv[i][j] - c[j];
+  double e[3][3];
+  for (int j = 0; j < 3; ++j) {
+    e[0][j] = v[1][j] - v[0][j];
+    e[1][j] = v[2][j] - v[1][j];
+    e[2][j] = v[0][j] - v[2][j];
+  }
+  // 9 cross-product axes
+  for (int i = 0; i < 3; ++i) {
+    for (int a = 0; a < 3; ++a) {
+      int a1 = (a + 1) % 3, a2 = (a + 2) % 3;
+      // axis = cross(unit_a, e_i) -> components: axis[a]=0,
+      // axis[a1]=-e[i][a2], axis[a2]=e[i][a1]
+      double p0 = -e[i][a2] * v[0][a1] + e[i][a1] * v[0][a2];
+      double p1 = -e[i][a2] * v[1][a1] + e[i][a1] * v[1][a2];
+      double p2 = -e[i][a2] * v[2][a1] + e[i][a1] * v[2][a2];
+      double mn = std::min(p0, std::min(p1, p2));
+      double mx = std::max(p0, std::max(p1, p2));
+      double rad = h[a1] * std::fabs(e[i][a2]) + h[a2] * std::fabs(e[i][a1]);
+      if (mn > rad || mx < -rad) return false;
+    }
+  }
+  // box face normals
+  for (int j = 0; j < 3; ++j) {
+    double mn = std::min(v[0][j], std::min(v[1][j], v[2][j]));
+    double mx = std::max(v[0][j], std::max(v[1][j], v[2][j]));
+    if (mn > h[j] || mx < -h[j]) return false;
+  }
+  // triangle normal
+  double n[3] = {e[0][1] * e[1][2] - e[0][2] * e[1][1],
+                 e[0][2] * e[1][0] - e[0][0] * e[1][2],
+                 e[0][0] * e[1][1] - e[0][1] * e[1][0]};
+  double d = -(n[0] * v[0][0] + n[1] * v[0][1] + n[2] * v[0][2]);
+  double r = h[0] * std::fabs(n[0]) + h[1] * std::fabs(n[1]) +
+             h[2] * std::fabs(n[2]);
+  double s = n[0] * 0 + n[1] * 0 + n[2] * 0 + d;  // plane at box center
+  return std::fabs(s) <= r;
+}
+
+// Surface-voxelize a triangle mesh into a (nx, ny, nz) uint8 grid.
+// Cell (i,j,k) spans origin + [i,i+1)*voxel_size etc.
+void voxelize_surface(const double *verts, int nv, const int *tris, int nt,
+                      const double *origin, double voxel_size, int nx, int ny,
+                      int nz, uint8_t *out) {
+  (void)nv;
+  for (int t = 0; t < nt; ++t) {
+    double tv[3][3];
+    double mn[3] = {1e30, 1e30, 1e30}, mx[3] = {-1e30, -1e30, -1e30};
+    for (int i = 0; i < 3; ++i) {
+      const double *p = verts + 3 * tris[3 * t + i];
+      for (int j = 0; j < 3; ++j) {
+        tv[i][j] = p[j];
+        mn[j] = std::min(mn[j], p[j]);
+        mx[j] = std::max(mx[j], p[j]);
+      }
+    }
+    int lo[3], hi[3];
+    const int dims[3] = {nx, ny, nz};
+    for (int j = 0; j < 3; ++j) {
+      lo[j] = std::max(0, (int)std::floor((mn[j] - origin[j]) / voxel_size));
+      hi[j] = std::min(dims[j] - 1,
+                       (int)std::floor((mx[j] - origin[j]) / voxel_size));
+    }
+    double hs[3] = {voxel_size / 2, voxel_size / 2, voxel_size / 2};
+    for (int i = lo[0]; i <= hi[0]; ++i)
+      for (int j = lo[1]; j <= hi[1]; ++j)
+        for (int k = lo[2]; k <= hi[2]; ++k) {
+          size_t idx = ((size_t)i * ny + j) * nz + k;
+          if (out[idx]) continue;
+          double c[3] = {origin[0] + (i + 0.5) * voxel_size,
+                         origin[1] + (j + 0.5) * voxel_size,
+                         origin[2] + (k + 0.5) * voxel_size};
+          if (tri_box_overlap(c, hs, tv)) out[idx] = 1;
+        }
+  }
+}
+
+// Mark interior cells: flood-fill the exterior from the boundary through
+// non-surface cells; everything not reached and not surface is interior.
+void fill_interior(const uint8_t *surface, int nx, int ny, int nz,
+                   uint8_t *interior) {
+  size_t n = (size_t)nx * ny * nz;
+  std::vector<uint8_t> outside(n, 0);
+  std::deque<int64_t> queue;
+  auto idx_of = [&](int x, int y, int z) {
+    return ((int64_t)x * ny + y) * nz + z;
+  };
+  auto push = [&](int x, int y, int z) {
+    if (x < 0 || y < 0 || z < 0 || x >= nx || y >= ny || z >= nz) return;
+    int64_t i = idx_of(x, y, z);
+    if (outside[i] || surface[i]) return;
+    outside[i] = 1;
+    queue.push_back(i);
+  };
+  for (int x = 0; x < nx; ++x)
+    for (int y = 0; y < ny; ++y) {
+      push(x, y, 0);
+      push(x, y, nz - 1);
+    }
+  for (int x = 0; x < nx; ++x)
+    for (int z = 0; z < nz; ++z) {
+      push(x, 0, z);
+      push(x, ny - 1, z);
+    }
+  for (int y = 0; y < ny; ++y)
+    for (int z = 0; z < nz; ++z) {
+      push(0, y, z);
+      push(nx - 1, y, z);
+    }
+  while (!queue.empty()) {
+    int64_t i = queue.front();
+    queue.pop_front();
+    int z = (int)(i % nz), y = (int)((i / nz) % ny), x = (int)(i / ((int64_t)ny * nz));
+    push(x + 1, y, z);
+    push(x - 1, y, z);
+    push(x, y + 1, z);
+    push(x, y - 1, z);
+    push(x, y, z + 1);
+    push(x, y, z - 1);
+  }
+  for (size_t i = 0; i < n; ++i)
+    interior[i] = (!outside[i] && !surface[i]) ? 1 : 0;
+}
+
+// Point-in-mesh by +z ray-crossing parity (the `external/libmesh`
+// triangle-hash containment, with a 2D cell grid accelerator).
+void points_in_mesh(const double *verts, int nv, const int *tris, int nt,
+                    const double *points, int np, uint8_t *out) {
+  (void)nv;
+  // 2D hash over (x, y)
+  double mn[2] = {1e30, 1e30}, mx[2] = {-1e30, -1e30};
+  for (int t = 0; t < nt; ++t)
+    for (int i = 0; i < 3; ++i) {
+      const double *p = verts + 3 * tris[3 * t + i];
+      for (int j = 0; j < 2; ++j) {
+        mn[j] = std::min(mn[j], p[j]);
+        mx[j] = std::max(mx[j], p[j]);
+      }
+    }
+  int res = std::max(8, (int)std::sqrt((double)nt));
+  res = std::min(res, 512);
+  double sx = (mx[0] - mn[0]) / res + 1e-12, sy = (mx[1] - mn[1]) / res + 1e-12;
+  std::vector<std::vector<int>> cells((size_t)res * res);
+  auto cell_of = [&](double x, double y, int &cx, int &cy) {
+    cx = (int)((x - mn[0]) / sx);
+    cy = (int)((y - mn[1]) / sy);
+  };
+  for (int t = 0; t < nt; ++t) {
+    double tmn[2] = {1e30, 1e30}, tmx[2] = {-1e30, -1e30};
+    for (int i = 0; i < 3; ++i) {
+      const double *p = verts + 3 * tris[3 * t + i];
+      for (int j = 0; j < 2; ++j) {
+        tmn[j] = std::min(tmn[j], p[j]);
+        tmx[j] = std::max(tmx[j], p[j]);
+      }
+    }
+    int c0x, c0y, c1x, c1y;
+    cell_of(tmn[0], tmn[1], c0x, c0y);
+    cell_of(tmx[0], tmx[1], c1x, c1y);
+    for (int cx = std::max(0, c0x); cx <= std::min(res - 1, c1x); ++cx)
+      for (int cy = std::max(0, c0y); cy <= std::min(res - 1, c1y); ++cy)
+        cells[(size_t)cx * res + cy].push_back(t);
+  }
+  for (int p = 0; p < np; ++p) {
+    // tiny deterministic jitter keeps the ray off shared edges/vertices
+    // (a lattice-aligned query would double-count crossings)
+    double x = points[3 * p] + 3.1e-7, y = points[3 * p + 1] + 1.7e-7,
+           z = points[3 * p + 2];
+    out[p] = 0;
+    if (x < mn[0] || x > mx[0] || y < mn[1] || y > mx[1]) continue;
+    int cx, cy;
+    cell_of(x, y, cx, cy);
+    if (cx < 0 || cy < 0 || cx >= res || cy >= res) continue;
+    int crossings = 0;
+    for (int t : cells[(size_t)cx * res + cy]) {
+      const double *a = verts + 3 * tris[3 * t];
+      const double *b = verts + 3 * tris[3 * t + 1];
+      const double *c = verts + 3 * tris[3 * t + 2];
+      // 2D barycentric test in (x, y)
+      double d = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1]);
+      if (std::fabs(d) < 1e-30) continue;
+      double l1 = ((b[1] - c[1]) * (x - c[0]) + (c[0] - b[0]) * (y - c[1])) / d;
+      double l2 = ((c[1] - a[1]) * (x - c[0]) + (a[0] - c[0]) * (y - c[1])) / d;
+      double l3 = 1.0 - l1 - l2;
+      if (l1 < 0 || l2 < 0 || l3 < 0) continue;
+      double tz = l1 * a[2] + l2 * b[2] + l3 * c[2];
+      if (tz > z) crossings++;
+    }
+    out[p] = (uint8_t)(crossings & 1);
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,164 @@
+"""Training runtime: pjit train/eval steps, Adam + plateau LR schedule,
+BN-momentum schedule, parameter freezing.
+
+Semantic rebuild of `models/training.py` (BaseTrainer.train_step: zero_grad
+-> loss -> backward -> step), `models/optimizers.py` (Adam betas/eps/wd from
+yaml; ReduceLROnPlateau factor 0.1 / patience 20 / threshold 0.01;
+BNMomentumScheduler max(0.5*0.5^(epoch//20), 1e-3)), and the freezing
+mechanics of `models/network.py:57-79` — re-designed as pure functions over
+a flax TrainState jitted across a data-parallel `jax.sharding.Mesh`.
+
+The LR and BN momentum enter the jitted step as traced scalars, so the
+host-side plateau logic never triggers recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0):
+    """Adam with unit LR; the step scales updates by the traced lr (torch
+    Adam semantics: L2 weight decay added to the gradient, not decoupled —
+    matching `optimizers.py:85-98` with yaml weight_decay)."""
+    chain = [optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps)]
+    if weight_decay:
+        chain.insert(0, optax.add_decayed_weights(weight_decay))
+    return optax.chain(*chain)
+
+
+def _freeze_mask(params, frozen: tuple):
+    return {
+        k: jax.tree_util.tree_map(lambda _: k not in frozen, v)
+        for k, v in params.items()
+    }
+
+
+def make_train_step(
+    model,
+    dataset_config,
+    tx,
+    completion_weight: float = 1.0,
+    frozen: tuple = (),
+    donate: bool = True,
+) -> Callable:
+    """Returns jitted (state, batch, rng, lr, bn_momentum) ->
+    (state, metrics dict of scalars)."""
+
+    def loss_fn(params, batch_stats, batch, rng, bn_momentum):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch,
+            train=True,
+            bn_momentum=bn_momentum,
+            rng=rng,
+            mutable=["batch_stats"],
+        )
+        losses = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            out,
+            batch,
+            dataset_config,
+            completion_weight,
+            method=type(model).loss,
+        )
+        return losses["total"], (losses, updates["batch_stats"])
+
+    def step(state: TrainState, batch, rng, lr, bn_momentum):
+        grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng, bn_momentum
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        mask = _freeze_mask(state.params, frozen)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u, m: p + jnp.where(m, -lr * u, 0.0),
+            state.params, updates, mask,
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, losses
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, dataset_config, completion_weight: float = 1.0):
+    def step(state: TrainState, batch, rng):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch,
+            train=False,
+            rng=rng,
+        )
+        losses = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            out,
+            batch,
+            dataset_config,
+            completion_weight,
+            method=type(model).loss,
+        )
+        return losses
+
+    return jax.jit(step)
+
+
+def init_state(model, tx, sample_batch, seed: int = 0) -> TrainState:
+    variables = model.init(
+        jax.random.PRNGKey(seed),
+        jax.tree_util.tree_map(jnp.asarray, sample_batch),
+        train=False,
+        rng=jax.random.PRNGKey(seed + 1),
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return TrainState(
+        step=jnp.int32(0),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+@dataclasses.dataclass
+class PlateauScheduler:
+    """Host-side ReduceLROnPlateau (`optimizers.py:42-54` config: mode=min,
+    factor, patience, threshold [rel mode])."""
+
+    lr: float
+    factor: float = 0.1
+    patience: int = 20
+    threshold: float = 0.01
+    best: float = float("inf")
+    num_bad: int = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr *= self.factor
+                self.num_bad = 0
+        return self.lr
