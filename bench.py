@@ -1,0 +1,110 @@
+"""End-to-end throughput benchmark: scenes/sec for detection + instance
+reconstruction (the reference's `--mode test` per-scene path,
+`models/iscnet/modules/network.py:56-180`), on whatever accelerator JAX
+sees (real TPU chip under the driver; CPU elsewhere).
+
+One scene = 80k-point cloud -> PointNet++ backbone -> voting -> proposal
+head -> on-device class-aware 3D NMS -> skip-propagation conditioning for
+the top proposals -> occupancy decode of a dense 32^3 grid per proposal
+(the shipped test config's mesh-extraction resolution,
+`ISCNet_test.yaml:62-63` with upsampling_steps=0). Everything up to the
+host marching-cubes is a single jitted program with static shapes.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "scenes/sec", "vs_baseline": N}
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
+we use an estimated 0.4 scenes/sec for the reference's GPU test loop
+(per-scene Python NMS + per-proposal chunked occupancy evals + CPU
+marching cubes dominate; see SURVEY.md §3.2) until a measured baseline
+exists. The north-star target is >=5x (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_SCENES_PER_SEC_EST = 0.4  # estimated reference GPU throughput (see above)
+
+NUM_POINTS = 80_000
+GRID_RES = 32
+GENERATE_LIMIT = 8  # proposals reconstructed per scene (demo-scale)
+WARMUP = 2
+ITERS = 10
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rfdnet_tpu.config.scannet import ScannetConfig
+    from rfdnet_tpu.data.synthetic import synthetic_scene_batch
+    from rfdnet_tpu.models import ISCNet, make_3d_grid
+
+    dc = ScannetConfig()
+    model = ISCNet(
+        mean_size_arr=dc.mean_size_arr,
+        phase="completion",
+        generate_limit=GENERATE_LIMIT,
+    )
+
+    batch = synthetic_scene_batch(
+        np.random.RandomState(0), batch_size=1, num_points=NUM_POINTS,
+        mean_size_arr=dc.mean_size_arr,
+    )
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch, train=False, rng=jax.random.PRNGKey(1)
+    )
+
+    grid = make_3d_grid((-0.55,) * 3, (0.55,) * 3, (GRID_RES,) * 3)  # (R^3, 3)
+
+    def scene_fn(variables, point_clouds):
+        end_points, prop_feats, parsed = model.apply(
+            variables, point_clouds, method=ISCNet.generate_detections,
+            mutable=False,
+        )
+        gen = model.apply(
+            variables, end_points, prop_feats, parsed,
+            {"point_clouds": point_clouds},
+            method=ISCNet.generate_completion, mutable=False,
+        )
+        pts = jnp.broadcast_to(
+            grid[None], (gen["features"].shape[0],) + grid.shape
+        )
+        logits = model.apply(
+            variables, gen["features"], gen["cls_codes"], pts,
+            method=ISCNet.decode_occupancy, mutable=False,
+        )
+        return (
+            parsed["pred_corners_3d_upright_camera"],
+            parsed["pred_mask"],
+            gen["valid"],
+            logits,
+        )
+
+    fn = jax.jit(scene_fn)
+    pc = batch["point_clouds"]
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(fn(variables, pc))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(variables, pc)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    value = 1.0 / dt
+    print(json.dumps({
+        "metric": "scenes_per_sec_detect_recon",
+        "value": round(value, 4),
+        "unit": "scenes/sec",
+        "vs_baseline": round(value / REF_SCENES_PER_SEC_EST, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,8 @@ _DEFAULTS: dict[str, Any] = {
     "device": {"num_workers": 0},
     "data": {
         "dataset": "scannet",
+        "split": "datasets/splits/fullscan",
+        "shapenet_path": "datasets/ShapeNetv2_data",
         "num_point": 80000,
         "num_target": 256,
         "vote_factor": 1,

@@ -1,0 +1,143 @@
+"""Single-scene demo: raw .off scan in -> boxes + instance meshes out.
+
+Semantic rebuild of `demo.py:24-420`: load a mesh/point scan, append the
+height feature (floor = 0.99-percentile z), subsample to num_point,
+run detection -> NMS -> skip-propagation -> per-proposal mesh generation,
+optionally refit boxes to the scan, and dump
+`proposal_<j>_mesh.ply` + `000000_pc.ply` + the NMS-filtered bbox npz
+(the reference's checked-in outputs for scene0549_00 use this format).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import numpy as np
+
+from .eval.box_util import flip_axis_to_depth
+from .eval.refit import fit_meshes_to_scan
+from .eval.tester import place_mesh_in_box
+from .meshing.generator import Generator3D
+from .meshing.mesh import TriMesh, write_ply
+from .models.iscnet import ISCNet
+
+
+def load_demo_data(path: str, num_points: int = 80_000,
+                   use_height: bool = True) -> dict:
+    """`demo.py:24-48`: .off/.ply scan -> (1, N, 3+height) float32."""
+    mesh = TriMesh.load(path)
+    points = np.asarray(mesh.vertices, dtype=np.float32)
+    if use_height:
+        floor = np.percentile(points[:, 2], 0.99)
+        points = np.concatenate(
+            [points, (points[:, 2] - floor)[:, None]], axis=1
+        )
+    # deterministic subsample (demo parity: the reference seeds numpy
+    # globally before sampling)
+    rng = np.random.RandomState(10)
+    n = points.shape[0]
+    choice = rng.choice(n, num_points, replace=n < num_points)
+    return {"point_clouds": points[choice][None]}
+
+
+def generate(cfg, model: ISCNet, variables, data: dict,
+             post_processing: bool = False):
+    """Detection + completion + mesh extraction for one scene
+    (`demo.py:200-276`). Returns (parsed, gen, meshes)."""
+    ec = cfg.eval_config
+    gen_cfg = cfg.config["generation"]
+
+    fn = jax.jit(
+        lambda v, pc: model.apply(
+            v, pc, method=ISCNet.generate_detections, mutable=False,
+            nms_iou=ec["nms_iou"], use_cls_nms=ec["cls_nms"],
+        )
+    )
+    end_points, prop_feats, parsed = fn(
+        variables, jax.numpy.asarray(data["point_clouds"])
+    )
+    gen = model.apply(
+        variables, end_points, prop_feats, parsed,
+        {"point_clouds": jax.numpy.asarray(data["point_clouds"])},
+        method=ISCNet.generate_completion, mutable=False,
+        dump_threshold=gen_cfg["dump_threshold"],
+    )
+    parsed = {k: np.asarray(v) for k, v in parsed.items()}
+    gen = {k: np.asarray(v) for k, v in gen.items()}
+
+    decode = jax.jit(
+        lambda f, c, p: model.apply(
+            variables, f, c, p, method=ISCNet.decode_occupancy,
+            mutable=False,
+        )
+    )
+    generator = Generator3D(
+        decode, threshold=cfg.config["data"]["threshold"],
+        resolution0=gen_cfg["resolution_0"],
+        upsampling_steps=gen_cfg["upsampling_steps"],
+    )
+    meshes = generator.generate_meshes(
+        gen["features"], gen["cls_codes"], valid=gen["valid"].reshape(-1)
+    )
+    if post_processing:
+        parsed = fit_meshes_to_scan(
+            parsed, meshes, gen["proposal_ids"], gen["valid"],
+            np.asarray(data["point_clouds"]), gen_cfg["dump_threshold"],
+        )
+    return parsed, gen, meshes
+
+
+def save_visualization(cfg, data, parsed, gen, meshes, out_dir: str):
+    """`demo.py:278-327`: scene pc ply, per-proposal mesh plys, bbox npz."""
+    os.makedirs(out_dir, exist_ok=True)
+    pc = np.asarray(data["point_clouds"])[0, :, :3]
+    write_ply(os.path.join(out_dir, "000000_pc.ply"), pc,
+              np.zeros((0, 3), np.int32))
+
+    B, G, _ = gen["proposal_ids"].shape
+    boxes, cls_list = [], []
+    for g in range(G):
+        if not gen["valid"][0, g]:
+            continue
+        j = int(gen["proposal_ids"][0, g, 0])
+        mesh = meshes[g]
+        if len(mesh.vertices):
+            placed = place_mesh_in_box(
+                mesh, parsed["pred_corners_3d_upright_camera"][0, j]
+            )
+            placed.export(os.path.join(out_dir, f"proposal_{j}_mesh.ply"))
+        corners_depth = flip_axis_to_depth(
+            parsed["pred_corners_3d_upright_camera"][0, j]
+        )
+        boxes.append(corners_depth)
+        cls_list.append(int(parsed["pred_sem_cls"][0, j]))
+    np.savez(
+        os.path.join(out_dir, "000000_pred_confident_nms_bbox.npz"),
+        obbs=np.array(boxes), cls=np.array(cls_list),
+    )
+    return out_dir
+
+
+def run(cfg, demo_path: str):
+    """`demo.py:379-420`."""
+    import time
+
+    from .cli import _restore_variables
+
+    t0 = time.time()
+    data = load_demo_data(
+        demo_path, num_points=cfg.config["data"]["num_point"],
+        use_height=not cfg.config["data"]["no_height"],
+    )
+    model = cfg.build_model()
+    variables = _restore_variables(cfg, model, data)
+    parsed, gen, meshes = generate(cfg, model, variables, data)
+    scene = os.path.splitext(os.path.basename(demo_path))[0]
+    out_dir = os.path.join(
+        cfg.save_path or "out/demo", "visualization", scene
+    )
+    save_visualization(cfg, data, parsed, gen, meshes, out_dir)
+    cfg.log_string(f"Time elapsed: {time.time() - t0:.2f}s -> {out_dir}")
+    return out_dir

@@ -1,0 +1,304 @@
+"""Test-time driver: per-scene generation, AP accumulation, voxel-IoU
+stats, optional mesh-mAP and visualization dumps.
+
+Semantic rebuild of `test.py` + `test_epoch.py:10-68` +
+`models/iscnet/testing.py` (Tester): for each val scene run the jitted
+generate program (detection + NMS + completion conditioning + eval losses
++ 16^3 shape voxels), extract meshes on the host (batched dense-grid or
+MISE), optionally refit boxes to the scan, assemble per-class
+(cls, box[, mesh], score) tuples, and accumulate VOC AP.
+
+The reference's device<->host ping-pong (per-proposal chunked decoder
+evals, Python NMS and box-decode loops — `ap_helper.py:131-264`) is
+replaced by one fixed-shape device program per scene; only marching cubes
+and AP bookkeeping stay on the host.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..meshing.generator import Generator3D
+from ..models.iscnet import ISCNet
+from .ap_helper import (
+    APCalculator,
+    assembly_gt_map_cls,
+    assembly_pred_map_cls,
+    parse_groundtruths,
+)
+from .mesh_iou import mesh_iou, voxelize_mesh_pair
+from .refit import fit_meshes_to_scan
+
+
+def compute_iou(occ1: np.ndarray, occ2: np.ndarray) -> np.ndarray:
+    """Batched boolean-set IoU over flattened trailing dims
+    (`external/common.py:7-35`)."""
+    occ1 = np.asarray(occ1).reshape(occ1.shape[0], -1) >= 0.5
+    occ2 = np.asarray(occ2).reshape(occ2.shape[0], -1) >= 0.5
+    union = (occ1 | occ2).sum(axis=-1)
+    inter = (occ1 & occ2).sum(axis=-1)
+    return inter / np.maximum(union, 1)
+
+
+class Tester:
+    def __init__(self, cfg, model: ISCNet, variables, dataset_config,
+                 log=print):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.dataset_config = dataset_config
+        self.log = log
+        ec = cfg.eval_config
+        gen_cfg = cfg.config["generation"]
+        mode = cfg.config["mode"]
+        self.evaluate_mesh_mAP = (
+            cfg.config.get(mode, {}).get("evaluate_mesh_mAP", False)
+            and gen_cfg["generate_mesh"]
+        )
+        self.dump_threshold = (
+            ec["conf_thresh"] if self.evaluate_mesh_mAP
+            else gen_cfg["dump_threshold"]
+        )
+        self.generate_mesh = gen_cfg["generate_mesh"]
+        self.fit_to_scan = cfg.config.get(mode, {}).get(
+            "phase", ""
+        ) == "completion" and self.generate_mesh
+
+        self._gen_fn = jax.jit(
+            partial(
+                self._apply_generate,
+                nms_iou=ec["nms_iou"],
+                use_cls_nms=ec["cls_nms"],
+                dump_threshold=self.dump_threshold,
+            )
+        )
+        decode = jax.jit(
+            lambda f, c, p: model.apply(
+                variables, f, c, p, method=ISCNet.decode_occupancy,
+                mutable=False,
+            )
+        )
+        self.generator = Generator3D(
+            decode,
+            threshold=cfg.config["data"]["threshold"],
+            resolution0=gen_cfg["resolution_0"],
+            upsampling_steps=gen_cfg["upsampling_steps"],
+        )
+        self.voxel_pool = ThreadPoolExecutor(8)
+
+    def _apply_generate(self, variables, batch, **kw):
+        return self.model.apply(
+            variables, batch, method=ISCNet.generate, mutable=False, **kw
+        )
+
+    # ---------------------------------------------------------------- step
+    def test_step(self, batch: dict) -> dict:
+        device_batch = {
+            k: v for k, v in batch.items()
+            if not isinstance(v, list) and k not in
+            ("object_voxels", "object_points_iou", "object_points_iou_occ",
+             "shapenet_catids", "shapenet_ids", "scan_idx")
+        }
+        out = self._gen_fn(self.variables, device_batch)
+        parsed = {k: np.asarray(v) for k, v in out["parsed"].items()}
+        gen = {k: np.asarray(v) for k, v in out["gen"].items()}
+        point_clouds = np.asarray(batch["point_clouds"])
+        B, G, _ = gen["proposal_ids"].shape
+
+        losses = {"total": 0.0}
+        if "completion_loss" in out:
+            losses["completion loss"] = float(out["completion_loss"])
+            losses["mask loss"] = 0.0  # documented deviation (ISCNet.generate)
+            losses["total"] = losses["completion loss"]
+
+        # per-class voxel IoU stats (`network.py:144-150`)
+        iou_stats = None
+        if "shape_voxels" in out and "object_voxels" in batch:
+            voxels = np.asarray(out["shape_voxels"]).reshape(B * G, 16, 16, 16)
+            gt_ids = gen["proposal_ids"][..., 1].reshape(-1)
+            gt_vox = np.asarray(batch["object_voxels"])[
+                np.repeat(np.arange(B), G), gt_ids
+            ]
+            valid = gen["valid"].reshape(-1).astype(bool)
+            ious = compute_iou(voxels[valid], gt_vox[valid])
+            iou_stats = {
+                "cls": gen["proposal_ids"][..., 2].reshape(-1)[valid],
+                "iou": ious,
+            }
+
+        # host mesh extraction for all valid proposals in one batched pass
+        meshes = None
+        if self.generate_mesh and "features" in gen:
+            meshes = self.generator.generate_meshes(
+                gen["features"], gen["cls_codes"],
+                valid=gen["valid"].reshape(-1),
+            )
+
+        if meshes is not None and self.fit_to_scan:
+            parsed = fit_meshes_to_scan(
+                parsed, meshes, gen["proposal_ids"], gen["valid"],
+                point_clouds, self.dump_threshold,
+            )
+
+        voxel_size = float(
+            point_clouds[0, :, 2].max() - point_clouds[0, :, 2].min()
+        ) / 46.0
+
+        mesh_pairs = gt_mesh_pairs = None
+        if self.evaluate_mesh_mAP and meshes is not None:
+            mesh_pairs = self._voxelize_meshes(
+                meshes, parsed, gen, voxel_size
+            )
+            gt_mesh_pairs = self._voxelize_gt_meshes(batch, voxel_size)
+
+        ec = self.cfg.eval_config
+        batch_pred = assembly_pred_map_cls(
+            parsed, self.dataset_config,
+            conf_thresh=ec["conf_thresh"],
+            per_class_proposal=ec["per_class_proposal"],
+            meshes=mesh_pairs,
+            proposal_ids=gen.get("proposal_ids"),
+        )
+        parsed_gts = parse_groundtruths(batch, self.dataset_config)
+        batch_gt = assembly_gt_map_cls(parsed_gts, meshes=gt_mesh_pairs)
+
+        return {
+            "losses": losses,
+            "batch_pred_map_cls": batch_pred,
+            "batch_gt_map_cls": batch_gt,
+            "iou_stats": iou_stats,
+            "meshes": meshes,
+            "parsed": parsed,
+            "gen": gen,
+        }
+
+    def _voxelize_meshes(self, meshes, parsed, gen, voxel_size):
+        """Scene-frame voxelization of predicted meshes (the reference
+        places each canonical mesh into its box before voxelizing —
+        `ap_helper.py:429-446` via fit_shapenet_obj_to_votenet_box)."""
+        from .ap_helper import corners_from_params  # noqa: F401 (doc link)
+
+        B, G, _ = gen["proposal_ids"].shape
+        out = [[None] * G for _ in range(B)]
+
+        def job(i, g):
+            mesh = meshes[i * G + g]
+            if len(mesh.vertices) == 0:
+                return i, g, None
+            j = int(gen["proposal_ids"][i, g, 0])
+            placed = place_mesh_in_box(
+                mesh, parsed["pred_corners_3d_upright_camera"][i, j]
+            )
+            return i, g, voxelize_mesh_pair(
+                placed.vertices, placed.faces, voxel_size
+            )
+
+        jobs = [
+            (i, g) for i in range(B) for g in range(G)
+            if gen["valid"][i, g]
+        ]
+        for i, g, pair in self.voxel_pool.map(lambda a: job(*a), jobs):
+            out[i][g] = pair
+        # assembly looks meshes up by position in proposal_ids (mesh_for)
+        return out
+
+    def _voxelize_gt_meshes(self, batch, voxel_size):
+        """GT meshes for mesh-mAP come from the simplified watertight
+        ShapeNet models placed in the GT boxes (`ap_helper.py:371-401`);
+        requires `shapenet_path` with `watertight_scaled_simplified`."""
+        from ..meshing.mesh import TriMesh
+
+        sp = self.cfg.config["data"].get("shapenet_path")
+        if not sp or "shapenet_catids" not in batch:
+            return None
+        corners = parse_groundtruths(batch, self.dataset_config)[
+            "gt_corners_3d_upright_camera"
+        ]
+        out = []
+        for i, (catids, sids) in enumerate(
+            zip(batch["shapenet_catids"], batch["shapenet_ids"])
+        ):
+            row = []
+            for j, (cat, sid) in enumerate(zip(catids, sids)):
+                path = os.path.join(
+                    sp, "watertight_scaled_simplified", cat, sid + ".off"
+                )
+                if not os.path.exists(path):
+                    row.append(None)
+                    continue
+                mesh = place_mesh_in_box(TriMesh.load(path), corners[i, j])
+                row.append(
+                    voxelize_mesh_pair(mesh.vertices, mesh.faces, voxel_size)
+                )
+            out.append(row)
+        return out
+
+    # ----------------------------------------------------------------- run
+    def run(self, loader, ap_iou_thresholds=(0.5,), max_scenes=None):
+        """Full evaluation pass (`test_epoch.py:44-68`)."""
+        calculators = {
+            t: APCalculator(
+                t, self.dataset_config.class2type,
+                mesh_iou_func=mesh_iou if self.evaluate_mesh_mAP else None,
+            )
+            for t in ap_iou_thresholds
+        }
+        cls_iou_stats = {}
+        n = 0
+        for batch in loader:
+            out = self.test_step(batch)
+            for calc in calculators.values():
+                calc.step(out["batch_pred_map_cls"], out["batch_gt_map_cls"])
+            if out["iou_stats"] is not None:
+                for c, i in zip(out["iou_stats"]["cls"],
+                                out["iou_stats"]["iou"]):
+                    cls_iou_stats.setdefault(int(c), []).append(float(i))
+            n += 1
+            if n % 10 == 0:
+                self.log(f"evaluated {n} scenes")
+            if max_scenes is not None and n >= max_scenes:
+                break
+
+        metrics = {}
+        for t, calc in calculators.items():
+            for k, v in calc.compute_metrics().items():
+                metrics[f"{k} @{t}"] = v
+        for c, vals in sorted(cls_iou_stats.items()):
+            name = self.dataset_config.class2type.get(c, str(c))
+            metrics[f"{name} voxel IoU"] = float(np.mean(vals))
+        return metrics
+
+
+def place_mesh_in_box(mesh, box_corners_cam: np.ndarray):
+    """Place a canonical ([-0.55, 0.55]^3-ish) mesh into a camera-frame
+    corner box in the depth/scan frame
+    (`ap_helper.py:404-426` fit_shapenet_obj_to_votenet_box)."""
+    from .box_util import flip_axis_to_depth
+
+    c = flip_axis_to_depth(np.asarray(box_corners_cam))
+    centroid = (c.max(0) + c.min(0)) / 2.0
+    forward = c[1] - c[2]
+    left = c[0] - c[1]
+    up = c[6] - c[2]
+    orientation = np.arctan2(forward[1], forward[0])
+    sizes = np.linalg.norm(np.stack([forward, left, up]), axis=1)
+
+    from .refit import TRANSFORM_SHAPENET
+
+    out = mesh.copy()
+    v = np.asarray(out.vertices)
+    if len(v) == 0:
+        return out
+    v = v - (v.max(0) + v.min(0)) / 2.0
+    v = v @ TRANSFORM_SHAPENET.T
+    extent = v.max(0) - v.min(0)
+    v = v / np.where(extent > 0, extent, 1.0) * sizes
+    cs, sn = np.cos(orientation), np.sin(orientation)
+    R = np.array([[cs, sn, 0], [-sn, cs, 0], [0, 0, 1]])
+    out.vertices = v @ R + centroid
+    return out

@@ -170,6 +170,9 @@ void mesh_free(double *verts, int *tris) {
 // reimplemented from the separating-axis theorem).
 static bool tri_box_overlap(const double c[3], const double h[3],
                             const double tv[3][3]) {
+  // tolerance against rounding on exactly-touching geometry (axis-aligned
+  // faces landing on voxel boundaries reject by ~1e-17 otherwise)
+  const double eps = 1e-9 * (h[0] + h[1] + h[2]);
   double v[3][3];
   for (int i = 0; i < 3; ++i)
     for (int j = 0; j < 3; ++j) v[i][j] = tv[i][j] - c[j];
@@ -191,14 +194,14 @@ static bool tri_box_overlap(const double c[3], const double h[3],
       double mn = std::min(p0, std::min(p1, p2));
       double mx = std::max(p0, std::max(p1, p2));
       double rad = h[a1] * std::fabs(e[i][a2]) + h[a2] * std::fabs(e[i][a1]);
-      if (mn > rad || mx < -rad) return false;
+      if (mn > rad + eps || mx < -rad - eps) return false;
     }
   }
   // box face normals
   for (int j = 0; j < 3; ++j) {
     double mn = std::min(v[0][j], std::min(v[1][j], v[2][j]));
     double mx = std::max(v[0][j], std::max(v[1][j], v[2][j]));
-    if (mn > h[j] || mx < -h[j]) return false;
+    if (mn > h[j] + eps || mx < -h[j] - eps) return false;
   }
   // triangle normal
   double n[3] = {e[0][1] * e[1][2] - e[0][2] * e[1][1],
@@ -208,7 +211,7 @@ static bool tri_box_overlap(const double c[3], const double h[3],
   double r = h[0] * std::fabs(n[0]) + h[1] * std::fabs(n[1]) +
              h[2] * std::fabs(n[2]);
   double s = n[0] * 0 + n[1] * 0 + n[2] * 0 + d;  // plane at box center
-  return std::fabs(s) <= r;
+  return std::fabs(s) <= r + eps;
 }
 
 // Surface-voxelize a triangle mesh into a (nx, ny, nz) uint8 grid.

@@ -407,6 +407,46 @@ class ISCNet(nn.Module):
             "heading_angles": heading_angles,
         }
 
+    def generate(self, data, nms_iou=0.25, use_cls_nms=True,
+                 dump_threshold=0.5, export_voxels=True):
+        """Full test-time forward (`network.py:56-180` minus host-side mesh
+        extraction): detection + on-device NMS, completion conditioning,
+        eval completion loss on the GT-assigned occupancy pairs, and the
+        16^3 shape voxels used for per-class voxel-IoU stats.
+
+        Note: at test time the reference still runs skip-propagation in its
+        supervised forward to obtain a mask loss; here the unsupervised
+        `generate` mask is used and mask_loss is reported as 0 (documented
+        deviation — affects logged losses only, not metrics).
+
+        Returns dict with parsed, gen, completion_loss, shape voxels.
+        """
+        end_points, proposal_features, parsed = self.generate_detections(
+            data["point_clouds"], nms_iou=nms_iou, use_cls_nms=use_cls_nms
+        )
+        gen = self.generate_completion(
+            end_points, proposal_features, parsed, data,
+            dump_threshold=dump_threshold,
+        )
+        out = {"end_points": end_points, "parsed": parsed, "gen": gen}
+        if self.phase == "completion" and "object_points" in data:
+            B, G, _ = gen["proposal_ids"].shape
+            gt_ids = gen["proposal_ids"][..., 1]
+            input_points = jnp.take_along_axis(
+                data["object_points"], gt_ids[..., None, None], axis=1
+            ).reshape(B * G, -1, 3)
+            input_occ = jnp.take_along_axis(
+                data["object_points_occ"], gt_ids[..., None], axis=1
+            ).reshape(B * G, -1)
+            completion_loss, voxels = self.completion.compute_loss(
+                gen["features"], input_points, input_occ, gen["cls_codes"],
+                None, False, export_shape=export_voxels,
+                valid_mask=gen["valid"].reshape(B * G),
+            )
+            out["completion_loss"] = completion_loss
+            out["shape_voxels"] = voxels
+        return out
+
     def decode_occupancy(self, features, cls_codes, points):
         """Batched occupancy-logit evaluation for mesh extraction.
 

@@ -89,7 +89,10 @@ class ONet(nn.Module):
         if self.z_dim > 0:
             mean_z, logstd_z = self.infer_z(input_points, input_points_occ, c)
             std = jnp.exp(logstd_z)
-            z = mean_z + std * jax.random.normal(rng, mean_z.shape)
+            if train and rng is not None:
+                z = mean_z + std * jax.random.normal(rng, mean_z.shape)
+            else:  # eval: posterior mean, RNG-free (`generate` path)
+                z = mean_z
             # KL(N(mu, std) || N(0,1)) summed over z dims
             kl = 0.5 * jnp.sum(
                 std**2 + mean_z**2 - 1.0 - 2.0 * logstd_z, axis=-1

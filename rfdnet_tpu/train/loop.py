@@ -1,0 +1,176 @@
+"""Experiment loops: epoch-driven training with plateau LR, BN-momentum
+schedule, and best/last checkpointing.
+
+Semantic rebuild of `train.py:10-41` + `train_epoch.py:9-93`: per epoch a
+train pass and a val pass (LossRecorder averages, `eval_loss_parser` =
+mean of 'total'), then ReduceLROnPlateau step, BN momentum decay, save
+'last' every epoch and 'best' on improved val loss. The step itself is a
+single pjit-compiled program over the data mesh; lr and bn_momentum enter
+as traced scalars so schedule changes never recompile.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..utils.logging import LogBoard, LossRecorder
+from .checkpoint import CheckpointIO
+from .trainer import (
+    PlateauScheduler,
+    init_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def pick_mesh(batch_size: int):
+    """Data mesh over as many devices as evenly divide the batch."""
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(devices[:n])
+
+
+class Trainer:
+    """Owns the jitted steps + schedules for one training stage."""
+
+    def __init__(self, cfg, model, dataset_config, log=print):
+        self.cfg = cfg
+        self.model = model
+        self.dataset_config = dataset_config
+        self.log = log
+        opt = cfg.config["optimizer"]
+        self.tx = make_optimizer(
+            betas=tuple(opt.get("betas", (0.9, 0.999))),
+            eps=opt.get("eps", 1e-8),
+            weight_decay=opt.get("weight_decay", 0.0),
+        )
+        sch = cfg.config["scheduler"]
+        self.plateau = PlateauScheduler(
+            lr=opt["lr"], factor=sch.get("factor", 0.1),
+            patience=sch.get("patience", 20),
+            threshold=sch.get("threshold", 0.01),
+        )
+        frozen = tuple(cfg.config["train"].get("freeze", []))
+        weight = cfg.config["model"].get("completion", {}).get("weight", 1.0)
+        self.train_step = make_train_step(
+            model, dataset_config, self.tx,
+            completion_weight=weight, frozen=frozen,
+        )
+        self.eval_step = make_eval_step(
+            model, dataset_config, completion_weight=weight
+        )
+        self.mesh = pick_mesh(cfg.config["train"]["batch_size"])
+        self.state = None
+
+    def initialize(self, sample_batch, seed: int = 0):
+        self.state = init_state(self.model, self.tx, sample_batch, seed)
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+        n_params = sum(
+            int(np.prod(np.shape(p)))
+            for p in jax.tree_util.tree_leaves(self.state.params)
+        )
+        self.log(f"model initialized: {n_params / 1e6:.2f} M params, "
+                 f"mesh {self.mesh.shape}")
+
+    def run_epoch(self, loader, epoch: int, phase: str, rng_key,
+                  board: LogBoard | None = None, print_step: int = 10):
+        recorder = LossRecorder(loader.batch_size)
+        bn_momentum = jnp.float32(self.cfg.bn_momentum(epoch))
+        lr = jnp.float32(self.plateau.lr)
+        t0 = time.time()
+        for it, batch in enumerate(loader):
+            batch = {
+                k: v for k, v in batch.items()
+                if not isinstance(v, list) and k not in
+                ("object_voxels", "shapenet_catids", "shapenet_ids")
+            }
+            batch = shard_batch(batch, self.mesh)
+            step_key = jax.random.fold_in(rng_key, it)
+            if phase == "train":
+                self.state, losses = self.train_step(
+                    self.state, batch, step_key, lr, bn_momentum
+                )
+            else:
+                losses = self.eval_step(self.state, batch, step_key)
+            losses = {k: float(v) for k, v in losses.items()}
+            recorder.update_loss(losses)
+            if (it + 1) % print_step == 0:
+                msg = ", ".join(
+                    f"{k}: {m.avg:.4f}"
+                    for k, m in sorted(recorder.loss_recorder.items())
+                )
+                self.log(
+                    f"{phase} epoch {epoch} iter {it + 1}/{len(loader)}: {msg}"
+                )
+                if board is not None:
+                    board.add_scalars(
+                        phase, recorder.synthesize(),
+                        epoch * len(loader) + it,
+                    )
+        self.log(
+            f"{phase} epoch {epoch} done in {time.time() - t0:.1f}s"
+        )
+        return recorder.synthesize()
+
+
+def train(cfg, model, dataset_config, train_loader, val_loader,
+          checkpoint: CheckpointIO | None = None, board: LogBoard | None = None,
+          start_epoch: int = 0, log=print):
+    """Full training driver (`train_epoch.py:52-93`). Returns trainer."""
+    trainer = Trainer(cfg, model, dataset_config, log=log)
+    sample = next(iter(train_loader))
+    sample = {
+        k: v for k, v in sample.items()
+        if not isinstance(v, list) and k not in
+        ("object_voxels", "shapenet_catids", "shapenet_ids")
+    }
+    trainer.initialize(sample, seed=cfg.config.get("seed", 10))
+
+    min_loss = np.inf
+    if checkpoint is not None:
+        if cfg.config.get("resume"):
+            state, meta = checkpoint.resume(trainer.state)
+            if state is not None:
+                trainer.state = jax.device_put(
+                    jax.tree_util.tree_map(jnp.asarray, state),
+                    replicated(trainer.mesh),
+                )
+                start_epoch = int(meta.get("epoch", 0)) + 1
+                min_loss = float(meta.get("min_loss", np.inf))
+                trainer.plateau.lr = float(meta.get("lr", trainer.plateau.lr))
+        elif cfg.config.get("finetune"):
+            for w in cfg.config.get("weight", []):
+                trainer.state = checkpoint.finetune(trainer.state, w)
+
+    epochs = cfg.config["train"]["epochs"]
+    key = jax.random.PRNGKey(cfg.config.get("seed", 10))
+    for epoch in range(start_epoch, epochs):
+        ek = jax.random.fold_in(key, epoch)
+        train_loader.set_epoch(epoch)
+        trainer.run_epoch(
+            train_loader, epoch, "train", jax.random.fold_in(ek, 0),
+            board, cfg.config["log"].get("print_step", 10),
+        )
+        val_losses = trainer.run_epoch(
+            val_loader, epoch, "val", jax.random.fold_in(ek, 1),
+            board, cfg.config["log"].get("print_step", 10),
+        )
+        eval_loss = val_losses.get("total", np.inf)
+        trainer.plateau.step(eval_loss)
+        if checkpoint is not None:
+            meta = {"epoch": epoch, "min_loss": float(min(min_loss, eval_loss)),
+                    "lr": trainer.plateau.lr}
+            checkpoint.save_last(trainer.state, meta)
+            if eval_loss < min_loss:
+                min_loss = eval_loss
+                checkpoint.save_best(trainer.state, meta)
+                log(f"epoch {epoch}: new best val loss {eval_loss:.4f}")
+    return trainer

@@ -4,12 +4,21 @@ __graft_entry__.dryrun_multichip)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the ambient environment may point JAX at a remote TPU
+# tunnel (a sitecustomize registers an 'axon' PJRT plugin and the
+# JAX_PLATFORMS env var alone does NOT win against it). Unit tests always
+# run on the virtual CPU mesh, so force the platform through jax.config,
+# which takes precedence.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,166 @@
+"""Meshing-stack tests: MISE octree vs dense-evaluation oracle, marching
+tetrahedra surface extraction, native voxelizer / containment, mesh IO."""
+
+import numpy as np
+import pytest
+
+from rfdnet_tpu.meshing.mesh import TriMesh, read_off, read_ply, write_off, write_ply
+from rfdnet_tpu.meshing.mise import MISE, mise_value_grids
+from rfdnet_tpu.meshing.native import (
+    fill_interior,
+    marching_tetrahedra,
+    points_in_mesh,
+    voxelize_surface,
+)
+
+
+def sphere_logit(pts, center=(0.0, 0.0, 0.0), r=0.35, sharp=40.0):
+    """Smooth occupancy logit of a sphere; pts (..., 3)."""
+    d = np.linalg.norm(pts - np.asarray(center), axis=-1)
+    return sharp * (r - d)
+
+
+class TestMISE:
+    def test_refines_to_full_resolution_and_matches_dense_signs(self):
+        res0, depth = 8, 2
+        m = MISE(res0, depth, 0.0)
+        R = m.R
+        assert R == 32
+        while True:
+            q = m.query()
+            if len(q) == 0:
+                break
+            pts = q / R - 0.5
+            m.update(q, sphere_logit(pts))
+        dense = m.to_dense()
+        assert dense.shape == (R + 1,) * 3
+        assert not np.isnan(dense).any()
+
+        # oracle: dense evaluation of every lattice point
+        ax = np.arange(R + 1) / R - 0.5
+        gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+        oracle = sphere_logit(np.stack([gx, gy, gz], -1))
+        # sign agreement everywhere (MISE guarantees sign-exactness; values
+        # inside non-refined voxels are inherited, not evaluated)
+        np.testing.assert_array_equal(dense >= 0.0, oracle >= 0.0)
+
+    def test_evaluates_far_fewer_points_than_dense(self):
+        res0, depth = 8, 3
+        m = MISE(res0, depth, 0.0)
+        R = m.R
+        n_eval = 0
+        while True:
+            q = m.query()
+            if len(q) == 0:
+                break
+            n_eval += len(q)
+            m.update(q, sphere_logit(q / R - 0.5))
+        assert n_eval < 0.25 * (R + 1) ** 3
+
+    def test_uniform_field_no_refinement(self):
+        m = MISE(4, 2, 0.0)
+        q = m.query()
+        m.update(q, np.full(len(q), -5.0))
+        assert len(m.query()) == 0
+        dense = m.to_dense()
+        assert (dense < 0).all()
+
+    def test_batched_driver(self):
+        centers = np.array([[0.1, 0.0, 0.0], [-0.1, 0.05, 0.0]])
+
+        def decode_fn(features, cls_codes, pts):
+            # features row i encodes the sphere center
+            out = np.stack(
+                [sphere_logit(pts[i], center=features[i]) for i in
+                 range(len(features))]
+            )
+            return out
+
+        grids = mise_value_grids(
+            decode_fn, centers, np.zeros((2, 8)), resolution_0=8,
+            upsampling_steps=2, threshold=0.5, padding=0.1,
+        )
+        assert grids.shape == (2, 33, 33, 33)
+        R = 32
+        box = 1.1
+        ax = box * (np.arange(R + 1) / R - 0.5)
+        gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+        pts = np.stack([gx, gy, gz], -1)
+        for i in range(2):
+            oracle = sphere_logit(pts, center=centers[i])
+            np.testing.assert_array_equal(grids[i] >= 0, oracle >= 0)
+
+
+class TestMarchingTetrahedra:
+    def test_sphere_surface(self):
+        n = 33
+        ax = np.arange(n) / (n - 1) - 0.5
+        gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+        grid = sphere_logit(np.stack([gx, gy, gz], -1))
+        verts, tris = marching_tetrahedra(grid.astype(np.float32), 0.0)
+        assert len(verts) > 100 and len(tris) > 100
+        # vertices (index space) lie near the r=0.35 sphere
+        r = np.linalg.norm(verts / (n - 1) - 0.5, axis=-1)
+        assert np.abs(r - 0.35).max() < 0.05
+        # watertight: every edge shared by exactly two triangles
+        edges = np.concatenate(
+            [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]]
+        )
+        edges = np.sort(edges, axis=1)
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).all()
+
+
+class TestVoxelize:
+    def _cube(self):
+        v = np.array(
+            [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+             [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], dtype=np.float64,
+        )
+        f = np.array(
+            [[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+             [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+             [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]], dtype=np.int32,
+        )
+        return v, f
+
+    def test_surface_and_fill(self):
+        v, f = self._cube()
+        dims = (12, 12, 12)
+        surf = voxelize_surface(v, f, np.array([-0.1, -0.1, -0.1]), 0.1, dims)
+        assert surf.any()
+        filled = fill_interior(surf)
+        # center voxel is interior
+        assert filled[6, 6, 6]
+        # a corner voxel outside the cube is not
+        assert not filled[0, 0, 0]
+        assert filled.sum() >= surf.sum()
+
+    def test_points_in_mesh(self):
+        v, f = self._cube()
+        pts = np.array(
+            [[0.5, 0.5, 0.5], [1.5, 0.5, 0.5], [0.9, 0.9, 0.9],
+             [-0.2, 0.0, 0.0]]
+        )
+        inside = points_in_mesh(v, f, pts)
+        np.testing.assert_array_equal(inside, [True, False, True, False])
+
+
+class TestMeshIO:
+    def test_ply_roundtrip(self, tmp_path):
+        v = np.random.RandomState(0).rand(10, 3)
+        f = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+        p = str(tmp_path / "m.ply")
+        write_ply(p, v, f)
+        v2, f2 = read_ply(p)
+        np.testing.assert_allclose(v2, v, atol=1e-6)
+        np.testing.assert_array_equal(f2, f)
+
+    def test_off_roundtrip(self, tmp_path):
+        v = np.random.RandomState(1).rand(8, 3)
+        f = np.array([[0, 1, 2], [2, 3, 4]], np.int32)
+        p = str(tmp_path / "m.off")
+        write_off(p, v, f)
+        v2, f2 = read_off(p)
+        np.testing.assert_allclose(v2, v, atol=1e-12)
+        np.testing.assert_array_equal(f2, f)
