@@ -101,7 +101,14 @@ def run_test(cfg: Config):
     tester = Tester(cfg, model, variables, cfg.dataset_config,
                     log=cfg.log_string)
     thresholds = cfg.config["test"].get("ap_iou_thresholds", [0.5])
-    metrics = tester.run(loaders["test"], ap_iou_thresholds=thresholds)
+    dump_dir = None
+    if cfg.config["generation"].get("dump_results"):
+        dump_dir = os.path.join(
+            cfg.save_path or "out/test", cfg.config["log"]["vis_path"]
+        )
+    metrics = tester.run(
+        loaders["test"], ap_iou_thresholds=thresholds, dump_dir=dump_dir
+    )
     for k, v in metrics.items():
         cfg.log_string(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
     return metrics

@@ -16,7 +16,6 @@ from functools import partial
 import jax
 import numpy as np
 
-from .eval.box_util import flip_axis_to_depth
 from .eval.refit import fit_meshes_to_scan
 from .eval.tester import place_mesh_in_box
 from .meshing.generator import Generator3D
@@ -96,8 +95,10 @@ def save_visualization(cfg, data, parsed, gen, meshes, out_dir: str):
     write_ply(os.path.join(out_dir, "000000_pc.ply"), pc,
               np.zeros((0, 3), np.int32))
 
+    from .eval.refit import _box_params_from_corners
+
     B, G, _ = gen["proposal_ids"].shape
-    boxes, cls_list = [], []
+    boxes, proposal_map = [], []
     for g in range(G):
         if not gen["valid"][0, g]:
             continue
@@ -108,14 +109,18 @@ def save_visualization(cfg, data, parsed, gen, meshes, out_dir: str):
                 mesh, parsed["pred_corners_3d_upright_camera"][0, j]
             )
             placed.export(os.path.join(out_dir, f"proposal_{j}_mesh.ply"))
-        corners_depth = flip_axis_to_depth(
-            parsed["pred_corners_3d_upright_camera"][0, j]
+        # 7-param [center, size, heading] depth-frame box + proposal id
+        # (the reference's 000000_pred_confident_nms_bbox.npz contract:
+        # obbs (K, 7) + proposal_map (K, 1))
+        boxes.append(
+            _box_params_from_corners(
+                parsed["pred_corners_3d_upright_camera"][0, j]
+            )
         )
-        boxes.append(corners_depth)
-        cls_list.append(int(parsed["pred_sem_cls"][0, j]))
+        proposal_map.append([j])
     np.savez(
         os.path.join(out_dir, "000000_pred_confident_nms_bbox.npz"),
-        obbs=np.array(boxes), cls=np.array(cls_list),
+        obbs=np.array(boxes), proposal_map=np.array(proposal_map),
     )
     return out_dir
 

@@ -238,8 +238,63 @@ class Tester:
             out.append(row)
         return out
 
+    # -------------------------------------------------------------- dumps
+    def visualize_step(self, out: dict, batch: dict, scene_dir: str):
+        """Per-scene artifact dumps (`models/iscnet/testing.py:71-214`):
+        input cloud, seeds/votes-free compact set — scene pc, NMS boxes,
+        per-proposal placed meshes, and pred/gt (cls, box, score) txt."""
+        import os
+
+        from ..meshing.mesh import write_ply
+        from ..utils.visualization import write_oriented_bbox_ply
+
+        os.makedirs(scene_dir, exist_ok=True)
+        pc = np.asarray(batch["point_clouds"])[0, :, :3]
+        write_ply(os.path.join(scene_dir, "000000_pc.ply"), pc,
+                  np.zeros((0, 3), np.int32))
+
+        parsed, gen = out["parsed"], out["gen"]
+        from .box_util import flip_axis_to_depth
+
+        keep = np.nonzero(
+            parsed["pred_mask"][0]
+            & (parsed["obj_prob"][0] > self.cfg.eval_config["conf_thresh"])
+        )[0]
+        if len(keep):
+            corners = flip_axis_to_depth(
+                parsed["pred_corners_3d_upright_camera"][0, keep]
+            )
+            write_oriented_bbox_ply(
+                os.path.join(scene_dir, "000000_pred_confident_nms_bbox.ply"),
+                corners,
+            )
+        if out["meshes"] is not None:
+            G = gen["proposal_ids"].shape[1]
+            for g in range(G):
+                if not gen["valid"][0, g]:
+                    continue
+                j = int(gen["proposal_ids"][0, g, 0])
+                mesh = out["meshes"][g]
+                if len(mesh.vertices):
+                    place_mesh_in_box(
+                        mesh, parsed["pred_corners_3d_upright_camera"][0, j]
+                    ).export(
+                        os.path.join(scene_dir, f"proposal_{j}_mesh.ply")
+                    )
+        with open(os.path.join(scene_dir, "pred_map_cls.txt"), "w") as f:
+            for item in out["batch_pred_map_cls"][0]:
+                f.write(f"{item[0]} {item[-1]} "
+                        + " ".join(map(str, np.asarray(item[1]).ravel()))
+                        + "\n")
+        with open(os.path.join(scene_dir, "gt_map_cls.txt"), "w") as f:
+            for item in out["batch_gt_map_cls"][0]:
+                f.write(f"{item[0]} "
+                        + " ".join(map(str, np.asarray(item[1]).ravel()))
+                        + "\n")
+
     # ----------------------------------------------------------------- run
-    def run(self, loader, ap_iou_thresholds=(0.5,), max_scenes=None):
+    def run(self, loader, ap_iou_thresholds=(0.5,), max_scenes=None,
+            dump_dir=None):
         """Full evaluation pass (`test_epoch.py:44-68`)."""
         calculators = {
             t: APCalculator(
@@ -258,6 +313,12 @@ class Tester:
                 for c, i in zip(out["iou_stats"]["cls"],
                                 out["iou_stats"]["iou"]):
                     cls_iou_stats.setdefault(int(c), []).append(float(i))
+            if dump_dir is not None:
+                scan_idx = int(np.asarray(batch.get("scan_idx", [n]))[0])
+                self.visualize_step(
+                    out, batch,
+                    os.path.join(dump_dir, f"scene_{scan_idx:05d}"),
+                )
             n += 1
             if n % 10 == 0:
                 self.log(f"evaluated {n} scenes")

@@ -69,6 +69,57 @@ def get_lib() -> ctypes.CDLL:
         return lib
 
 
+_PREP_SRC = os.path.join(_HERE, "src", "prep.cpp")
+_PREP_SO = os.path.join(_HERE, "src", "libprep.so")
+_prep_lib = None
+
+
+def get_prep_lib() -> ctypes.CDLL:
+    """Offline-prep library: QEM simplify (N9), depth raster (N14), TSDF
+    fusion (N13)."""
+    global _prep_lib
+    with _lock:
+        if _prep_lib is not None:
+            return _prep_lib
+        if not os.path.exists(_PREP_SO) or os.path.getmtime(
+            _PREP_SO
+        ) < os.path.getmtime(_PREP_SRC):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                 "-fPIC", "-std=c++17", _PREP_SRC, "-o", _PREP_SO],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_PREP_SO)
+        lib.simplify_qem.restype = ctypes.c_int
+        lib.simplify_qem.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.prep_free.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int)
+        ]
+        lib.render_depth.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.tsdf_fuse.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _prep_lib = lib
+        return lib
+
+
 def _cptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
@@ -134,3 +185,66 @@ def points_in_mesh(verts, tris, points) -> np.ndarray:
         _cptr(out, ctypes.c_uint8),
     )
     return out.astype(bool)
+
+
+def simplify_mesh(verts, tris, target_faces: int,
+                  aggressiveness: float = 7.0):
+    """Quadric-error-metric simplification (`libsimplify` semantics:
+    simplify_mesh(mesh, f_target, aggressiveness) — `simplify_mesh.pyx`)."""
+    lib = get_prep_lib()
+    verts = np.ascontiguousarray(verts, dtype=np.float64)
+    tris = np.ascontiguousarray(tris, dtype=np.int32)
+    vp = ctypes.POINTER(ctypes.c_double)()
+    tp = ctypes.POINTER(ctypes.c_int)()
+    nv = ctypes.c_int()
+    nt = ctypes.c_int()
+    lib.simplify_qem(
+        _cptr(verts, ctypes.c_double), len(verts),
+        _cptr(tris, ctypes.c_int), len(tris),
+        int(target_faces), ctypes.c_double(aggressiveness),
+        ctypes.byref(vp), ctypes.byref(tp), ctypes.byref(nv), ctypes.byref(nt),
+    )
+    out_v = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy()
+    out_t = np.ctypeslib.as_array(tp, shape=(nt.value, 3)).copy()
+    lib.prep_free(vp, tp)
+    return out_v, out_t
+
+
+def render_depth(verts, tris, pose, f: float, cx: float, cy: float,
+                 width: int, height: int) -> np.ndarray:
+    """Pinhole z-buffer depth map; pose is row-major 4x4 world->camera.
+    Returns (height, width) float32, 0 where no geometry (the
+    `librender` offscreen depth render role)."""
+    lib = get_prep_lib()
+    verts = np.ascontiguousarray(verts, dtype=np.float64)
+    tris = np.ascontiguousarray(tris, dtype=np.int32)
+    pose = np.ascontiguousarray(pose, dtype=np.float64)
+    out = np.zeros((height, width), dtype=np.float32)
+    lib.render_depth(
+        _cptr(verts, ctypes.c_double), len(verts),
+        _cptr(tris, ctypes.c_int), len(tris),
+        _cptr(pose, ctypes.c_double), ctypes.c_double(f),
+        ctypes.c_double(cx), ctypes.c_double(cy), width, height,
+        _cptr(out, ctypes.c_float),
+    )
+    return out
+
+
+def tsdf_fuse(depths, poses, f: float, cx: float, cy: float, res: int,
+              bbox, trunc: float) -> np.ndarray:
+    """Projective TSDF fusion over n depth views -> (res, res, res)
+    float32 in [-1, 1] (`pyfusion.tsdf_gpu` role, OpenMP on host)."""
+    lib = get_prep_lib()
+    depths = np.ascontiguousarray(depths, dtype=np.float32)
+    poses = np.ascontiguousarray(poses, dtype=np.float64)
+    bbox = np.ascontiguousarray(bbox, dtype=np.float64).reshape(6)
+    n, H, W = depths.shape
+    out = np.zeros((res, res, res), dtype=np.float32)
+    lib.tsdf_fuse(
+        _cptr(depths, ctypes.c_float), n, H, W,
+        _cptr(poses, ctypes.c_double), ctypes.c_double(f),
+        ctypes.c_double(cx), ctypes.c_double(cy), res,
+        _cptr(bbox, ctypes.c_double), ctypes.c_double(trunc),
+        _cptr(out, ctypes.c_float),
+    )
+    return out

@@ -10,6 +10,7 @@ from .layers import (
     EncoderLatent,
     ResnetBlockFC,
     ResnetPointnet,
+    SelfAttention,
 )
 from .losses import chamfer_loss, detection_loss, onet_loss
 from .occnet import ONet, make_3d_grid
@@ -23,7 +24,7 @@ __all__ = [
     "BatchNorm", "CBatchNorm", "CResnetBlockConv1d", "DecoderCBatchNorm",
     "Dense", "EncoderLatent", "FeaturePropagation", "GroupSTN3d", "ISCNet",
     "MLPHead", "ONet", "PointNetEncoder", "PointSeg", "Pointnet2Backbone",
-    "ProposalModule", "ResnetBlockFC", "ResnetPointnet", "SetAbstraction",
+    "ProposalModule", "ResnetBlockFC", "ResnetPointnet", "SelfAttention", "SetAbstraction",
     "SharedMLP", "SkipPropagation", "STNGroup", "VotingModule",
     "chamfer_loss", "decode_scores", "detection_loss", "make_3d_grid",
     "onet_loss", "pointseg_loss", "select_completion_proposals",

@@ -145,3 +145,17 @@ class MLPHead(nn.Module):
             )
             x = nn.relu(x)
         return Dense(self.out_features, name="out")(x)
+
+
+def max_pool_points(x, axis=1, keepdims=False):
+    """Max-reduce over the points axis, fenced with an optimization
+    barrier. Works around an XLA:TPU fusion bug: when the pooled value is
+    concatenated/broadcast back and fed into an MXU dot, the backend sinks
+    the bf16 convert above the reduce and emits a bf16 reduce-window whose
+    TransformWindow chunking loops forever / CHECK-fails
+    (fusion_util.cc:3726, seen on v5e with (4, 256, 256) operands). The
+    barrier keeps the reduce in f32 and out of the offending fusion."""
+    import jax
+
+    pooled = jnp.max(x, axis=axis, keepdims=keepdims)
+    return jax.lax.optimization_barrier(pooled)

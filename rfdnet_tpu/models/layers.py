@@ -12,7 +12,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .common import BatchNorm, Dense
+from .common import BatchNorm, Dense, max_pool_points
 
 
 class ResnetBlockFC(nn.Module):
@@ -140,7 +140,7 @@ class ResnetPointnet(nn.Module):
     @nn.compact
     def __call__(self, p):
         def pool_cat(net):
-            pooled = jnp.max(net, axis=1, keepdims=True)
+            pooled = max_pool_points(net, axis=1, keepdims=True)
             return jnp.concatenate(
                 [net, jnp.broadcast_to(pooled, net.shape)], axis=-1
             )
@@ -150,7 +150,7 @@ class ResnetPointnet(nn.Module):
             net = ResnetBlockFC(size_out=self.hidden_dim, name=f"block_{i}")(net)
             net = pool_cat(net)
         net = ResnetBlockFC(size_out=self.hidden_dim, name="block_4")(net)
-        net = jnp.max(net, axis=1)
+        net = max_pool_points(net, axis=1)
         return Dense(self.c_dim, name="fc_c")(nn.relu(net))
 
 
@@ -183,6 +183,28 @@ class DecoderCBatchNorm(nn.Module):
         return out[..., 0]
 
 
+class SelfAttention(nn.Module):
+    """Dot-product self-attention over a point set (`layers.py:395-421` —
+    defined in the reference but commented out of every call site; kept
+    for API parity). x (B, T, C) -> (B, T, C) with gamma-gated residual
+    (gamma zero-initialized, so the block starts as identity)."""
+
+    reduce: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        q = Dense(C // self.reduce, name="query")(x)
+        k = Dense(C // self.reduce, name="key")(x)
+        v = Dense(C, name="value")(x)
+        attn = jnp.einsum("btd,bsd->bts", q, k)
+        attn = jnp.exp(attn - jnp.max(attn, axis=-1, keepdims=True))
+        attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+        out = jnp.einsum("bts,bsc->btc", attn, v)
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+        return gamma * out + x
+
+
 class EncoderLatent(nn.Module):
     """VAE posterior encoder (`encoder_latent.py:12-73`): pools
     [points, occ, c] through 128-d MLPs with max-pool concat; outputs
@@ -199,7 +221,7 @@ class EncoderLatent(nn.Module):
             net = net + Dense(128, name="fc_c")(c)[:, None, :]
 
         def pool_cat(net):
-            pooled = jnp.max(net, axis=1, keepdims=True)
+            pooled = max_pool_points(net, axis=1, keepdims=True)
             return jnp.concatenate(
                 [net, jnp.broadcast_to(pooled, net.shape)], axis=-1
             )
@@ -209,7 +231,7 @@ class EncoderLatent(nn.Module):
         net = Dense(128, name="fc_2")(nn.relu(net))
         net = pool_cat(net)
         net = Dense(128, name="fc_3")(nn.relu(net))
-        net = jnp.max(net, axis=1)
+        net = max_pool_points(net, axis=1)
         mean = Dense(self.z_dim, name="fc_mean")(net)
         logstd = Dense(self.z_dim, name="fc_logstd")(net)
         return mean, logstd

@@ -29,7 +29,7 @@ from ..ops import (
     interpolate_features,
     query_and_group,
 )
-from .common import BatchNorm, Dense, SharedMLP
+from .common import BatchNorm, Dense, SharedMLP, max_pool_points
 
 
 class SetAbstraction(nn.Module):
@@ -67,7 +67,7 @@ class SetAbstraction(nn.Module):
             grouped, train, bn_momentum
         )  # (B, np, ns, mlp[-1])
         if self.pooling == "max":
-            new_features = jnp.max(out, axis=2)
+            new_features = max_pool_points(out, axis=2)
         elif self.pooling == "avg":
             new_features = jnp.mean(out, axis=2)
         elif self.pooling == "rbf":
@@ -125,7 +125,7 @@ class GroupSTN3d(nn.Module):
                 h, train, bn_momentum
             )
             h = nn.relu(h)
-        h = jnp.max(h, axis=1)  # (B*P, 256)
+        h = max_pool_points(h, axis=1)  # (B*P, 256)
         zeros = nn.initializers.zeros
         for i, f in enumerate([128, 64]):
             h = Dense(f, kernel_init=zeros, name=f"fc{i + 1}")(h)

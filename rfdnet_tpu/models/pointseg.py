@@ -10,7 +10,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .common import BatchNorm, Dense
+from .common import BatchNorm, Dense, max_pool_points
 
 
 class _STN(nn.Module):
@@ -31,7 +31,7 @@ class _STN(nn.Module):
                 h, train, bn_momentum
             )
             h = nn.relu(h)
-        h = jnp.max(h, axis=1)
+        h = max_pool_points(h, axis=1)
         for i, f in enumerate([512, 256]):
             h = Dense(f, name=f"fc{i + 1}")(h)
             h = BatchNorm(axis_name=self.bn_axis_name, name=f"bn{i + 4}")(
@@ -76,7 +76,7 @@ class PointNetEncoder(nn.Module):
         h = nn.relu(h)
         h = Dense(1024, name="conv3")(h)
         h = BatchNorm(axis_name=self.bn_axis_name, name="bn3")(h, train, bn_momentum)
-        glob = jnp.max(h, axis=1, keepdims=True)  # (B, 1, 1024)
+        glob = max_pool_points(h, axis=1, keepdims=True)  # (B, 1, 1024)
         glob = jnp.broadcast_to(glob, (h.shape[0], h.shape[1], 1024))
         return jnp.concatenate([glob, pointfeat], axis=-1), trans_feat
 

@@ -24,7 +24,6 @@ from .trainer import (
     PlateauScheduler,
     init_state,
     make_eval_step,
-    make_optimizer,
     make_train_step,
 )
 
@@ -47,10 +46,10 @@ class Trainer:
         self.dataset_config = dataset_config
         self.log = log
         opt = cfg.config["optimizer"]
-        self.tx = make_optimizer(
-            betas=tuple(opt.get("betas", (0.9, 0.999))),
-            eps=opt.get("eps", 1e-8),
-            weight_decay=opt.get("weight_decay", 0.0),
+        from .trainer import make_optimizer_with_specs
+
+        self.tx, lr_scale_tree = make_optimizer_with_specs(
+            opt, cfg.config.get("model", {})
         )
         sch = cfg.config["scheduler"]
         self.plateau = PlateauScheduler(
@@ -63,12 +62,14 @@ class Trainer:
         self.train_step = make_train_step(
             model, dataset_config, self.tx,
             completion_weight=weight, frozen=frozen,
+            lr_scale_tree=lr_scale_tree,
         )
         self.eval_step = make_eval_step(
             model, dataset_config, completion_weight=weight
         )
         self.mesh = pick_mesh(cfg.config["train"]["batch_size"])
         self.state = None
+        self._vis_fn = None
 
     def initialize(self, sample_batch, seed: int = 0):
         self.state = init_state(self.model, self.tx, sample_batch, seed)
@@ -80,13 +81,58 @@ class Trainer:
         self.log(f"model initialized: {n_params / 1e6:.2f} M params, "
                  f"mesh {self.mesh.shape}")
 
+    def visualize_step(self, batch, epoch: int, phase: str, it: int):
+        """Dump predicted/GT 16^3 voxel snapshots
+        (`models/iscnet/training.py:25-52`) — separate jitted forward with
+        shape export enabled."""
+        if self.model.phase != "completion" or "object_voxels" not in batch:
+            return
+        from ..models.iscnet import ISCNet
+        from ..utils.logging import initiate_environment  # noqa: F401
+        from ..utils.visualization import dump_training_snapshot
+
+        if self._vis_fn is None:
+            def fn(state, device_batch):
+                out = self.model.apply(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    {**device_batch, "export_shape": True},
+                    train=False, rng=jax.random.PRNGKey(0),
+                )
+                end_points, losses, shape_example, pids = out
+                return shape_example, pids
+
+            self._vis_fn = jax.jit(fn)
+        device_batch = {
+            k: jnp.asarray(v) for k, v in batch.items()
+            if not isinstance(v, list) and k not in
+            ("object_voxels", "shapenet_catids", "shapenet_ids")
+        }
+        voxels, pids = self._vis_fn(self.state, device_batch)
+        if voxels is None:
+            return
+        import os
+
+        vis_path = os.path.join(
+            self.cfg.save_path or "out", self.cfg.config["log"]["vis_path"]
+        )
+        dump_training_snapshot(
+            vis_path, epoch, phase, it,
+            np.asarray(voxels), np.asarray(pids),
+            np.asarray(batch["object_voxels"]),
+            self.cfg.config["data"]["completion_limit_in_train"],
+        )
+
     def run_epoch(self, loader, epoch: int, phase: str, rng_key,
                   board: LogBoard | None = None, print_step: int = 10):
         recorder = LossRecorder(loader.batch_size)
         bn_momentum = jnp.float32(self.cfg.bn_momentum(epoch))
         lr = jnp.float32(self.plateau.lr)
+        vis_step = self.cfg.config["log"].get("vis_step", 0)
         t0 = time.time()
         for it, batch in enumerate(loader):
+            if vis_step and (it + 1) % vis_step == 0:
+                self.visualize_step(batch, epoch, phase, it + 1)
             batch = {
                 k: v for k, v in batch.items()
                 if not isinstance(v, list) and k not in

@@ -44,6 +44,62 @@ def make_optimizer(betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0):
     return optax.chain(*chain)
 
 
+def make_optimizer_with_specs(base: dict, model_cfg: dict):
+    """Per-submodule optimizer overrides (`models/optimizers.py:23-40` +
+    `models/network.py:91-101`: a nested `optimizer` key under
+    model.<submodule> overrides method/betas/eps/weight_decay for that
+    subnet; lr overrides become per-module LR scales applied in the
+    train step so the plateau schedule still acts globally, matching
+    torch param-group semantics).
+
+    Returns (tx, lr_scale_tree | None)."""
+    specs = {
+        name: sub["optimizer"]
+        for name, sub in (model_cfg or {}).items()
+        if isinstance(sub, dict) and "optimizer" in sub
+    }
+    if not specs:
+        return make_optimizer(
+            betas=tuple(base.get("betas", (0.9, 0.999))),
+            eps=base.get("eps", 1e-8),
+            weight_decay=base.get("weight_decay", 0.0),
+        ), None
+
+    def chain_for(spec):
+        return make_optimizer(
+            betas=tuple(spec.get("betas", base.get("betas", (0.9, 0.999)))),
+            eps=spec.get("eps", base.get("eps", 1e-8)),
+            weight_decay=spec.get(
+                "weight_decay", base.get("weight_decay", 0.0)
+            ),
+        )
+
+    transforms = {"__base__": chain_for(base)}
+    for name, spec in specs.items():
+        transforms[name] = chain_for(spec)
+
+    def labeler(params):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: k if k in specs else "__base__", v
+            )
+            for k, v in params.items()
+        }
+
+    tx = optax.multi_transform(transforms, labeler)
+
+    def scale_tree(params):
+        base_lr = base.get("lr", 1e-3)
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: specs.get(k, {}).get("lr", base_lr) / base_lr, v
+            )
+            for k, v in params.items()
+        }
+
+    return tx, scale_tree
+
+
 def _freeze_mask(params, frozen: tuple):
     return {
         k: jax.tree_util.tree_map(lambda _: k not in frozen, v)
@@ -58,6 +114,7 @@ def make_train_step(
     completion_weight: float = 1.0,
     frozen: tuple = (),
     donate: bool = True,
+    lr_scale_tree=None,
 ) -> Callable:
     """Returns jitted (state, batch, rng, lr, bn_momentum) ->
     (state, metrics dict of scalars)."""
@@ -87,10 +144,17 @@ def make_train_step(
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         mask = _freeze_mask(state.params, frozen)
-        new_params = jax.tree_util.tree_map(
-            lambda p, u, m: p + jnp.where(m, -lr * u, 0.0),
-            state.params, updates, mask,
-        )
+        if lr_scale_tree is not None:
+            scales = lr_scale_tree(state.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u, m, s: p + jnp.where(m, -lr * s * u, 0.0),
+                state.params, updates, mask, scales,
+            )
+        else:
+            new_params = jax.tree_util.tree_map(
+                lambda p, u, m: p + jnp.where(m, -lr * u, 0.0),
+                state.params, updates, mask,
+            )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,

@@ -1,6 +1,8 @@
 """Meshing-stack tests: MISE octree vs dense-evaluation oracle, marching
 tetrahedra surface extraction, native voxelizer / containment, mesh IO."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -164,3 +166,31 @@ class TestMeshIO:
         v2, f2 = read_off(p)
         np.testing.assert_allclose(v2, v, atol=1e-12)
         np.testing.assert_array_equal(f2, f)
+
+
+class TestReferenceGoldens:
+    """Golden artifacts checked in from the reference's demo outputs
+    (`demo/outputs/scene0549_00/`) exercised through our IO + voxel-IoU
+    stack."""
+
+    DIR = os.path.join(os.path.dirname(__file__), "..", "demo", "outputs",
+                       "scene0549_00")
+
+    def test_reference_mesh_roundtrip_and_self_iou(self):
+        from rfdnet_tpu.eval.mesh_iou import compute_mesh_iou, voxelize_mesh_pair
+
+        path = os.path.join(self.DIR, "proposal_22_mesh.ply")
+        if not os.path.exists(path):
+            pytest.skip("goldens absent")
+        m = TriMesh.load(path)
+        assert len(m.vertices) > 1000 and len(m.faces) > 1000
+        pair = voxelize_mesh_pair(m.vertices, m.faces, 0.03)
+        assert compute_mesh_iou(pair, pair) == pytest.approx(1.0)
+
+    def test_reference_bbox_npz_contract(self):
+        path = os.path.join(self.DIR, "000000_pred_confident_nms_bbox.npz")
+        if not os.path.exists(path):
+            pytest.skip("goldens absent")
+        d = np.load(path)
+        assert d["obbs"].shape[1] == 7
+        assert d["proposal_map"].shape[0] == d["obbs"].shape[0]
