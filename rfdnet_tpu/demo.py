@@ -125,6 +125,59 @@ def save_visualization(cfg, data, parsed, gen, meshes, out_dir: str):
     return out_dir
 
 
+def visualize(data, parsed, gen, meshes, out_path: str):
+    """Offscreen scene render -> pred.png (`demo.py:329-377` uses VTK;
+    vtk is absent in this toolchain so matplotlib renders the scan points,
+    NMS boxes, and placed instance meshes)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    from .eval.box_util import flip_axis_to_depth
+
+    fig = plt.figure(figsize=(10, 8))
+    ax = fig.add_subplot(projection="3d")
+    pc = np.asarray(data["point_clouds"])[0, :, :3]
+    sub = pc[:: max(1, len(pc) // 20000)]
+    ax.scatter(sub[:, 0], sub[:, 1], sub[:, 2], s=0.3, c=sub[:, 2],
+               cmap="gray", alpha=0.5)
+
+    cmap = plt.get_cmap("tab20")
+    G = gen["proposal_ids"].shape[1]
+    for g in range(G):
+        if not gen["valid"][0, g]:
+            continue
+        j = int(gen["proposal_ids"][0, g, 0])
+        color = cmap(g % 20)
+        corners = flip_axis_to_depth(
+            parsed["pred_corners_3d_upright_camera"][0, j]
+        )
+        for a, b in [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6),
+                     (6, 7), (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)]:
+            ax.plot(*zip(corners[a], corners[b]), c=color, lw=1.0)
+        mesh = meshes[g]
+        if len(mesh.vertices):
+            placed = place_mesh_in_box(
+                mesh, parsed["pred_corners_3d_upright_camera"][0, j]
+            )
+            tri = placed.vertices[placed.faces[:: max(1, len(placed.faces)
+                                                      // 2000)]]
+            ax.add_collection3d(
+                Poly3DCollection(tri, facecolor=color, alpha=0.6,
+                                 edgecolor="none")
+            )
+    ax.view_init(elev=55, azim=-60)
+    ax.set_axis_off()
+    rng_pts = pc.max(0) - pc.min(0)
+    ax.set_box_aspect(rng_pts)
+    plt.tight_layout()
+    plt.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def run(cfg, demo_path: str):
     """`demo.py:379-420`."""
     import time
@@ -144,5 +197,6 @@ def run(cfg, demo_path: str):
         cfg.save_path or "out/demo", "visualization", scene
     )
     save_visualization(cfg, data, parsed, gen, meshes, out_dir)
+    visualize(data, parsed, gen, meshes, os.path.join(out_dir, "pred.png"))
     cfg.log_string(f"Time elapsed: {time.time() - t0:.2f}s -> {out_dir}")
     return out_dir

@@ -248,3 +248,56 @@ def tsdf_fuse(depths, poses, f: float, cx: float, cy: float, res: int,
         _cptr(out, ctypes.c_float),
     )
     return out
+
+
+class KDTree:
+    """3-D KD-tree with k-NN queries (the `pykdtree.KDTree` role; OpenMP
+    queries in the native library). Used by the host-side chamfer in the
+    eval path (`external/common.py:38-141` kdtree chamfer equivalent)."""
+
+    def __init__(self, points: np.ndarray):
+        lib = get_prep_lib()
+        lib.kdtree_build.restype = ctypes.c_void_p
+        lib.kdtree_build.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int
+        ]
+        lib.kdtree_query.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.kdtree_free.argtypes = [ctypes.c_void_p]
+        self._lib = lib
+        self._pts = np.ascontiguousarray(points, dtype=np.float64).reshape(-1, 3)
+        self._handle = lib.kdtree_build(
+            _cptr(self._pts, ctypes.c_double), len(self._pts)
+        )
+
+    def query(self, queries: np.ndarray, k: int = 1):
+        """Returns (dists (nq, k) L2, idx (nq, k)); squeezed when k=1 to
+        match pykdtree's interface."""
+        q = np.ascontiguousarray(queries, dtype=np.float64).reshape(-1, 3)
+        d2 = np.zeros((len(q), k))
+        idx = np.zeros((len(q), k), np.int32)
+        self._lib.kdtree_query(
+            self._handle, _cptr(q, ctypes.c_double), len(q), k,
+            _cptr(d2, ctypes.c_double), _cptr(idx, ctypes.c_int),
+        )
+        d = np.sqrt(d2)
+        if k == 1:
+            return d[:, 0], idx[:, 0]
+        return d, idx
+
+    def __del__(self):
+        try:
+            self._lib.kdtree_free(self._handle)
+        except Exception:
+            pass
+
+
+def kdtree_chamfer(points1: np.ndarray, points2: np.ndarray):
+    """Host chamfer via KD-trees (`external/common.py` chamfer_distance
+    with use_kdtree=True): mean squared NN distance both ways."""
+    d12, _ = KDTree(points2).query(points1, 1)
+    d21, _ = KDTree(points1).query(points2, 1)
+    return float((d12**2).mean() + (d21**2).mean())

@@ -394,3 +394,101 @@ void tsdf_fuse(const float *depths, int n_views, int H, int W,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------- N12 kdtree
+// Compact 3-D KD-tree (median split, implicit balanced layout) with k-NN
+// query — the `external/libkdtree/pykdtree` role (OpenMP-parallel queries).
+namespace {
+
+struct KDTreeImpl {
+  std::vector<double> pts;   // (n, 3)
+  std::vector<int> idx;      // permutation, tree in in-order layout
+  int n = 0;
+
+  void build(const double *p, int count) {
+    n = count;
+    pts.assign(p, p + 3 * (size_t)count);
+    idx.resize(count);
+    for (int i = 0; i < count; ++i) idx[i] = i;
+    build_rec(0, count, 0);
+  }
+
+  void build_rec(int lo, int hi, int axis) {
+    if (hi - lo <= 1) return;
+    int mid = (lo + hi) / 2;
+    std::nth_element(
+        idx.begin() + lo, idx.begin() + mid, idx.begin() + hi,
+        [&](int a, int b) { return pts[3 * a + axis] < pts[3 * b + axis]; });
+    build_rec(lo, mid, (axis + 1) % 3);
+    build_rec(mid + 1, hi, (axis + 1) % 3);
+  }
+
+  void knn(const double *q, int k, double *out_d2, int *out_i) const {
+    // bounded max-heap over (d2, idx)
+    std::vector<std::pair<double, int>> heap;
+    heap.reserve(k + 1);
+    query_rec(q, k, 0, n, 0, heap);
+    std::sort_heap(heap.begin(), heap.end());
+    for (int i = 0; i < k; ++i) {
+      if (i < (int)heap.size()) {
+        out_d2[i] = heap[i].first;
+        out_i[i] = heap[i].second;
+      } else {
+        out_d2[i] = 1e300;
+        out_i[i] = -1;
+      }
+    }
+  }
+
+  void query_rec(const double *q, int k, int lo, int hi, int axis,
+                 std::vector<std::pair<double, int>> &heap) const {
+    if (lo >= hi) return;
+    int mid = (lo + hi) / 2;
+    int id = idx[mid];
+    double dx = q[0] - pts[3 * id], dy = q[1] - pts[3 * id + 1],
+           dz = q[2] - pts[3 * id + 2];
+    double d2 = dx * dx + dy * dy + dz * dz;
+    if ((int)heap.size() < k) {
+      heap.emplace_back(d2, id);
+      std::push_heap(heap.begin(), heap.end());
+    } else if (d2 < heap.front().first) {
+      std::pop_heap(heap.begin(), heap.end());
+      heap.back() = {d2, id};
+      std::push_heap(heap.begin(), heap.end());
+    }
+    double delta = q[axis] - pts[3 * id + axis];
+    int next = (axis + 1) % 3;
+    if (delta < 0) {
+      query_rec(q, k, lo, mid, next, heap);
+      if ((int)heap.size() < k || delta * delta < heap.front().first)
+        query_rec(q, k, mid + 1, hi, next, heap);
+    } else {
+      query_rec(q, k, mid + 1, hi, next, heap);
+      if ((int)heap.size() < k || delta * delta < heap.front().first)
+        query_rec(q, k, lo, mid, next, heap);
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void *kdtree_build(const double *pts, int n) {
+  auto *t = new KDTreeImpl();
+  t->build(pts, n);
+  return t;
+}
+
+void kdtree_query(void *tree, const double *queries, int nq, int k,
+                  double *out_d2, int *out_idx) {
+  auto *t = (KDTreeImpl *)tree;
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < nq; ++i)
+    t->knn(queries + 3 * (size_t)i, k, out_d2 + (size_t)i * k,
+           out_idx + (size_t)i * k);
+}
+
+void kdtree_free(void *tree) { delete (KDTreeImpl *)tree; }
+
+}  // extern "C"

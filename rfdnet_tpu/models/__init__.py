@@ -14,7 +14,13 @@ from .layers import (
 )
 from .losses import chamfer_loss, detection_loss, onet_loss
 from .occnet import ONet, make_3d_grid
-from .pointnet2 import FeaturePropagation, GroupSTN3d, SetAbstraction, STNGroup
+from .pointnet2 import (
+    FeaturePropagation,
+    GroupSTN3d,
+    SetAbstraction,
+    SetAbstractionMSG,
+    STNGroup,
+)
 from .pointseg import PointNetEncoder, PointSeg, pointseg_loss
 from .proposal import ProposalModule, decode_scores
 from .skip_propagation import SkipPropagation
@@ -24,7 +30,7 @@ __all__ = [
     "BatchNorm", "CBatchNorm", "CResnetBlockConv1d", "DecoderCBatchNorm",
     "Dense", "EncoderLatent", "FeaturePropagation", "GroupSTN3d", "ISCNet",
     "MLPHead", "ONet", "PointNetEncoder", "PointSeg", "Pointnet2Backbone",
-    "ProposalModule", "ResnetBlockFC", "ResnetPointnet", "SelfAttention", "SetAbstraction",
+    "ProposalModule", "ResnetBlockFC", "ResnetPointnet", "SelfAttention", "SetAbstraction", "SetAbstractionMSG",
     "SharedMLP", "SkipPropagation", "STNGroup", "VotingModule",
     "chamfer_loss", "decode_scores", "detection_loss", "make_3d_grid",
     "onet_loss", "pointseg_loss", "select_completion_proposals",

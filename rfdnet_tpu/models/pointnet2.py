@@ -83,6 +83,38 @@ class SetAbstraction(nn.Module):
         return new_xyz, new_features, inds
 
 
+class SetAbstractionMSG(nn.Module):
+    """Multi-scale grouping SA (PointnetSAModuleMSG semantics,
+    `pointnet2_modules.py:9-84`): one FPS sampling, several
+    (radius, nsample, mlp) branches, features concatenated."""
+
+    npoint: int
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    bn_axis_name: str | None = None
+    fps_impl: str | None = None
+
+    @nn.compact
+    def __call__(self, xyz, features, train: bool, bn_momentum=None):
+        inds = furthest_point_sample(xyz, self.npoint, impl=self.fps_impl)
+        new_xyz = gather_points(xyz, inds)
+        outs = []
+        for i, (r, ns, mlp) in enumerate(
+            zip(self.radii, self.nsamples, self.mlps)
+        ):
+            idx = ball_query(xyz, new_xyz, r, ns)
+            grouped, _ = query_and_group(
+                xyz, new_xyz, idx, features, radius=r, use_xyz=self.use_xyz
+            )
+            out = SharedMLP(
+                mlp, bn_axis_name=self.bn_axis_name, name=f"mlp{i}"
+            )(grouped, train, bn_momentum)
+            outs.append(max_pool_points(out, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1), inds
+
+
 class FeaturePropagation(nn.Module):
     """PointnetFPModule semantics: inverse-distance 3-NN interpolation of the
     coarse features, concat with the skip features, shared MLP."""

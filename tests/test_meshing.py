@@ -194,3 +194,23 @@ class TestReferenceGoldens:
         d = np.load(path)
         assert d["obbs"].shape[1] == 7
         assert d["proposal_map"].shape[0] == d["obbs"].shape[0]
+
+
+class TestKDTree:
+    def test_knn_matches_bruteforce(self):
+        from rfdnet_tpu.meshing.native import KDTree
+
+        rng = np.random.RandomState(0)
+        pts_set = rng.rand(3000, 3)
+        q = rng.rand(100, 3)
+        d, i = KDTree(pts_set).query(q, 4)
+        D = np.linalg.norm(q[:, None] - pts_set[None], axis=-1)
+        oi = np.argsort(D, axis=1)[:, :4]
+        od = np.take_along_axis(D, oi, axis=1)
+        np.testing.assert_allclose(d, od, atol=1e-12)
+
+    def test_chamfer_symmetric_zero(self):
+        from rfdnet_tpu.meshing.native import kdtree_chamfer
+
+        pts_set = np.random.RandomState(1).rand(500, 3)
+        assert kdtree_chamfer(pts_set, pts_set) == 0.0

@@ -137,3 +137,18 @@ def test_demo_driver(tmp_path, cfg, model_and_vars):
     assert os.path.exists(
         os.path.join(out_dir, "000000_pred_confident_nms_bbox.npz")
     )
+
+
+def test_demo_render(tmp_path, cfg, model_and_vars):
+    """Offscreen pred.png render (VTK-role replacement)."""
+    from rfdnet_tpu.demo import generate, load_demo_data, visualize
+    from rfdnet_tpu.meshing.mesh import write_off
+
+    model, variables, batch = model_and_vars
+    pts = batch["point_clouds"][0, :, :3]
+    scene_path = str(tmp_path / "scene.off")
+    write_off(scene_path, pts, np.zeros((0, 3), np.int32))
+    data = load_demo_data(scene_path, num_points=N_POINTS)
+    parsed, gen, meshes = generate(cfg, model, variables, data)
+    out = visualize(data, parsed, gen, meshes, str(tmp_path / "pred.png"))
+    assert os.path.getsize(out) > 10_000
