@@ -23,9 +23,17 @@ exists. The north-star target is >=5x (BASELINE.json).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent compile cache: the 80k-scale generate program is a large
+# compile over the remote-compile tunnel; cache it across runs.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 REF_SCENES_PER_SEC_EST = 0.4  # estimated reference GPU throughput (see above)
 
@@ -86,16 +94,47 @@ def main() -> None:
             logits,
         )
 
-    fn = jax.jit(scene_fn)
     pc = batch["point_clouds"]
 
-    for _ in range(WARMUP):
-        jax.block_until_ready(fn(variables, pc))
+    # Loop scenes INSIDE one jit: the dev tunnel has ~33 ms per-dispatch
+    # round-trip which would dominate per-call wall timing; a fori_loop
+    # with an input perturbation measures pure device throughput
+    # (`rfdnet_tpu.utils.timing.device_time` pattern).
+    def scalarize(tree):
+        # full-output reduction so no branch of the program is DCE-able
+        return sum(
+            jnp.sum(leaf.astype(jnp.float32))
+            for leaf in jax.tree_util.tree_leaves(tree)
+        )
+
+    @jax.jit
+    def run_n(variables, pc):
+        def body(i, carry):
+            eps, acc = carry
+            out = scene_fn(variables, pc + eps)
+            s = scalarize(out)
+            return s * 1e-38, acc + s
+
+        _, acc = jax.lax.fori_loop(
+            0, ITERS, body, (jnp.float32(0), jnp.float32(0))
+        )
+        return acc
+
+    @jax.jit
+    def null(variables, pc):
+        return jnp.sum(pc.ravel()[:1])
+
+    np.asarray(run_n(variables, pc))  # compile + warmup
+    for _ in range(WARMUP - 1):
+        np.asarray(run_n(variables, pc))
+    np.asarray(null(variables, pc))
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(variables, pc)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS
+    np.asarray(run_n(variables, pc))
+    t_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(null(variables, pc))
+    t_null = time.perf_counter() - t0
+    dt = max(t_run - t_null, 1e-9) / ITERS
 
     value = 1.0 / dt
     print(json.dumps({

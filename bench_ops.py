@@ -29,7 +29,7 @@ def main() -> None:
         try:
             t = device_time(
                 lambda x: ops.furthest_point_sample(x, 2048, impl=impl), xyz,
-                iters=5,
+                iters=30,
             )
             results[f"fps_80k_to_2048_{impl}_ms"] = t * 1e3
         except Exception as e:
@@ -37,7 +37,7 @@ def main() -> None:
 
     centers = jnp.asarray(rng.rand(1, 2048, 3).astype(np.float32) * 4)
     t = device_time(
-        lambda x: ops.ball_query(x, centers, 0.2, 64), xyz, iters=5
+        lambda x: ops.ball_query(x, centers, 0.2, 64), xyz, iters=30
     )
     results["ball_query_2048x80k_ms"] = t * 1e3
 
@@ -46,14 +46,14 @@ def main() -> None:
     known = jnp.asarray(rng.rand(1, 512, 3).astype(np.float32))
     feats = jnp.asarray(rng.rand(1, 512, 256).astype(np.float32))
     t = device_time(
-        lambda u: ops.interpolate_features(u, known, feats), unknown, iters=10
+        lambda u: ops.interpolate_features(u, known, feats), unknown, iters=200
     )
     results["three_interpolate_1024x512_ms"] = t * 1e3
 
     # chamfer at refit scale (10k x 50k)
     a = jnp.asarray(rng.rand(1, 10_000, 3).astype(np.float32))
     b = jnp.asarray(rng.rand(1, 50_000, 3).astype(np.float32))
-    t = device_time(lambda x: ops.chamfer_distance(x, b)[0], a, iters=3)
+    t = device_time(lambda x: ops.chamfer_distance(x, b)[0], a, iters=20)
     results["chamfer_10kx50k_ms"] = t * 1e3
 
     # NMS over 256 proposals
@@ -62,7 +62,7 @@ def main() -> None:
     score = jnp.asarray(rng.rand(1, 256).astype(np.float32))
     cls = jnp.asarray(rng.randint(0, 8, (1, 256)).astype(np.int32))
     t = device_time(
-        lambda s: ops.nms_3d(aabb, s, cls, 0.25), score, iters=10
+        lambda s: ops.nms_3d(aabb, s, cls, 0.25), score, iters=200
     )
     results["nms_256_ms"] = t * 1e3
 

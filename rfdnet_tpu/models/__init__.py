@@ -12,7 +12,12 @@ from .layers import (
     ResnetPointnet,
     SelfAttention,
 )
-from .losses import chamfer_loss, detection_loss, onet_loss
+from .losses import (
+    boxnet_detection_loss,
+    chamfer_loss,
+    detection_loss,
+    onet_loss,
+)
 from .occnet import ONet, make_3d_grid
 from .pointnet2 import (
     FeaturePropagation,
@@ -32,6 +37,6 @@ __all__ = [
     "MLPHead", "ONet", "PointNetEncoder", "PointSeg", "Pointnet2Backbone",
     "ProposalModule", "ResnetBlockFC", "ResnetPointnet", "SelfAttention", "SetAbstraction", "SetAbstractionMSG",
     "SharedMLP", "SkipPropagation", "STNGroup", "VotingModule",
-    "chamfer_loss", "decode_scores", "detection_loss", "make_3d_grid",
+    "boxnet_detection_loss", "chamfer_loss", "decode_scores", "detection_loss", "make_3d_grid",
     "onet_loss", "pointseg_loss", "select_completion_proposals",
 ]

@@ -212,6 +212,68 @@ def detection_loss(est, gt, dataset_config):
     }
 
 
+def compute_objectness_loss_boxnet(est, gt):
+    """`loss.py:309-348`: BoxNet-style objectness — labels come from the
+    seed points' GT vote mask (gathered through seed_inds then
+    aggregated_vote_inds), no NEAR/FAR ignore zone."""
+    dist1, ind1, _, _ = nn_distance(
+        est["aggregated_vote_xyz"], gt["center_label"][:, :, 0:3]
+    )
+    seed_inds = est["seed_inds"].astype(jnp.int32)
+    seed_labels = jnp.take_along_axis(gt["vote_label_mask"], seed_inds, axis=1)
+    objectness_label = jnp.take_along_axis(
+        seed_labels, est["aggregated_vote_inds"].astype(jnp.int32), axis=1
+    ).astype(jnp.int32)
+    objectness_mask = jnp.ones_like(objectness_label, dtype=jnp.float32)
+    loss = _cross_entropy(
+        est["objectness_scores"], objectness_label, OBJECTNESS_CLS_WEIGHTS
+    )
+    loss = jnp.sum(loss * objectness_mask) / (jnp.sum(objectness_mask) + 1e-6)
+    return loss, objectness_label, objectness_mask, ind1
+
+
+def boxnet_detection_loss(est, gt, dataset_config):
+    """`loss.py:350-413` BoxNetDetectionLoss: DetectionLoss with the
+    seed-label objectness and no vote loss."""
+    objectness_loss, objectness_label, objectness_mask, object_assignment = (
+        compute_objectness_loss_boxnet(est, gt)
+    )
+    total_num_proposal = objectness_label.shape[0] * objectness_label.shape[1]
+    pos_ratio = jnp.sum(objectness_label.astype(jnp.float32)) / total_num_proposal
+    neg_ratio = jnp.sum(objectness_mask) / total_num_proposal - pos_ratio
+
+    (center_loss, heading_cls_loss, heading_reg_loss, size_cls_loss,
+     size_reg_loss, sem_cls_loss) = compute_box_and_sem_cls_loss(
+        est, gt, object_assignment, objectness_label,
+        dataset_config.mean_size_arr,
+        dataset_config.num_heading_bin,
+        dataset_config.num_size_cluster,
+    )
+    box_loss = (
+        center_loss + 0.1 * heading_cls_loss + heading_reg_loss
+        + 0.1 * size_cls_loss + size_reg_loss
+    )
+    loss = (0.5 * objectness_loss + box_loss + 0.1 * sem_cls_loss) * 10.0
+    obj_pred = jnp.argmax(est["objectness_scores"], axis=2)
+    obj_acc = jnp.sum(
+        (obj_pred == objectness_label).astype(jnp.float32) * objectness_mask
+    ) / (jnp.sum(objectness_mask) + 1e-6)
+    return {
+        "total": loss,
+        "objectness_loss": objectness_loss,
+        "box_loss": box_loss,
+        "sem_cls_loss": sem_cls_loss,
+        "pos_ratio": pos_ratio,
+        "neg_ratio": neg_ratio,
+        "center_loss": center_loss,
+        "heading_cls_loss": heading_cls_loss,
+        "heading_reg_loss": heading_reg_loss,
+        "size_cls_loss": size_cls_loss,
+        "size_reg_loss": size_reg_loss,
+        "obj_acc": obj_acc,
+    }
+
+
 def onet_loss(completion_loss, mask_loss, weight=1.0):
     """`loss.py:298-306` ONet_Loss."""
     total = weight * (completion_loss + 100.0 * mask_loss)

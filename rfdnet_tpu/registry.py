@@ -59,6 +59,7 @@ def _populate() -> None:
     LOSSES.register(L.detection_loss, name="DetectionLoss")
     LOSSES.register(L.onet_loss, name="ONet_Loss")
     LOSSES.register(L.chamfer_loss, name="ChamferDist")
+    LOSSES.register(L.boxnet_detection_loss, name="BoxNetDetectionLoss")
 
 
 _populate()

@@ -19,10 +19,13 @@ import numpy as np
 
 
 def _scalarize(tree) -> jax.Array:
+    """Full-output reduction: a first-element probe is NOT safe — ops with
+    a constant leading output (e.g. FPS always selects index 0 first) get
+    entirely dead-code-eliminated through it."""
     leaves = jax.tree_util.tree_leaves(tree)
     acc = jnp.float32(0)
     for leaf in leaves:
-        acc = acc + jnp.sum(leaf.ravel()[:1].astype(jnp.float32))
+        acc = acc + jnp.sum(leaf.astype(jnp.float32))
     return acc
 
 
@@ -35,8 +38,9 @@ def device_time(
 ) -> float:
     """Average seconds per call of ``fn(*args)`` measured on-device.
 
-    ``fn``'s first (float) argument is perturbed by a loop-carried epsilon
-    each iteration so the compiler cannot fold the loop.
+    ``fn``'s first (float) argument is perturbed by a loop-carried,
+    data-dependent epsilon (~1e-38 x output) each iteration so the
+    compiler can neither fold nor hoist the op out of the loop.
     """
 
     @jax.jit
@@ -47,7 +51,7 @@ def device_time(
             a2[perturb_arg] = a2[perturb_arg] + eps
             out = fn(*a2)
             s = _scalarize(out)
-            return (s * 0e-38, acc + s)
+            return (s * 1e-38, acc + s)
 
         _, acc = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.float32(0)))
         return acc
@@ -61,10 +65,17 @@ def device_time(
         np.asarray(run(*args))
     np.asarray(null(*args))
 
-    t0 = time.perf_counter()
-    np.asarray(run(*args))
-    t_run = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.asarray(null(*args))
-    t_null = time.perf_counter() - t0
+    # The tunnel adds ~33 ms jittery round-trip per dispatch; take the
+    # best of several trials of both programs so the subtraction is
+    # between like-minimum host overheads.
+    def best_of(f, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            np.asarray(f(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_run = best_of(run)
+    t_null = best_of(null)
     return max(t_run - t_null, 1e-9) / iters
