@@ -66,6 +66,21 @@ def main() -> None:
     )
     results["nms_256_ms"] = t * 1e3
 
+    # occupancy decoder throughput (BASELINE.json tracked metric):
+    # 64 conditioned objects x 33^3 grid points through DecoderCBatchNorm
+    from rfdnet_tpu.models import ONet
+
+    onet = ONet(z_dim=32, c_dim=512)
+    Nb, T = 64, 33**3
+    feats_o = jnp.asarray(rng.randn(Nb, 512).astype(np.float32))
+    cls_o = jnp.zeros((Nb, 8), jnp.float32)
+    pts_o = jnp.asarray(rng.rand(Nb, T, 3).astype(np.float32) - 0.5)
+    vo = onet.init(jax.random.PRNGKey(0), pts_o, feats_o, cls_o)
+    t = device_time(
+        lambda p: onet.apply(vo, p, feats_o, cls_o), pts_o, iters=10
+    )
+    results["occupancy_queries_per_sec"] = Nb * T / t
+
     results["backend"] = jax.devices()[0].platform
     for k, v in results.items():
         print(json.dumps({k: v}))
