@@ -106,9 +106,13 @@ class Tester:
         }
         out = self._gen_fn(self.variables, device_batch)
         parsed = {k: np.asarray(v) for k, v in out["parsed"].items()}
-        gen = {k: np.asarray(v) for k, v in out["gen"].items()}
+        gen = (
+            {k: np.asarray(v) for k, v in out["gen"].items()}
+            if "gen" in out else {}
+        )
         point_clouds = np.asarray(batch["point_clouds"])
-        B, G, _ = gen["proposal_ids"].shape
+        if gen:
+            B, G, _ = gen["proposal_ids"].shape
 
         losses = {"total": 0.0}
         if "completion_loss" in out:
@@ -118,7 +122,7 @@ class Tester:
 
         # per-class voxel IoU stats (`network.py:144-150`)
         iou_stats = None
-        if "shape_voxels" in out and "object_voxels" in batch:
+        if gen and "shape_voxels" in out and "object_voxels" in batch:
             voxels = np.asarray(out["shape_voxels"]).reshape(B * G, 16, 16, 16)
             gt_ids = gen["proposal_ids"][..., 1].reshape(-1)
             gt_vox = np.asarray(batch["object_voxels"])[
@@ -133,13 +137,13 @@ class Tester:
 
         # host mesh extraction for all valid proposals in one batched pass
         meshes = None
-        if self.generate_mesh and "features" in gen:
+        if gen and self.generate_mesh and "features" in gen:
             meshes = self.generator.generate_meshes(
                 gen["features"], gen["cls_codes"],
                 valid=gen["valid"].reshape(-1),
             )
 
-        if meshes is not None and self.fit_to_scan:
+        if gen and meshes is not None and self.fit_to_scan:
             parsed = fit_meshes_to_scan(
                 parsed, meshes, gen["proposal_ids"], gen["valid"],
                 point_clouds, self.dump_threshold,
@@ -253,7 +257,7 @@ class Tester:
         write_ply(os.path.join(scene_dir, "000000_pc.ply"), pc,
                   np.zeros((0, 3), np.int32))
 
-        parsed, gen = out["parsed"], out["gen"]
+        parsed, gen = out["parsed"], out.get("gen") or {}
         from .box_util import flip_axis_to_depth
 
         keep = np.nonzero(
@@ -268,7 +272,7 @@ class Tester:
                 os.path.join(scene_dir, "000000_pred_confident_nms_bbox.ply"),
                 corners,
             )
-        if out["meshes"] is not None:
+        if gen and out["meshes"] is not None:
             G = gen["proposal_ids"].shape[1]
             for g in range(G):
                 if not gen["valid"][0, g]:

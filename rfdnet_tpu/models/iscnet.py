@@ -424,12 +424,15 @@ class ISCNet(nn.Module):
         end_points, proposal_features, parsed = self.generate_detections(
             data["point_clouds"], nms_iou=nms_iou, use_cls_nms=use_cls_nms
         )
+        out = {"end_points": end_points, "parsed": parsed}
+        if self.phase != "completion":
+            return out
         gen = self.generate_completion(
             end_points, proposal_features, parsed, data,
             dump_threshold=dump_threshold,
         )
-        out = {"end_points": end_points, "parsed": parsed, "gen": gen}
-        if self.phase == "completion" and "object_points" in data:
+        out["gen"] = gen
+        if "object_points" in data:
             B, G, _ = gen["proposal_ids"].shape
             gt_ids = gen["proposal_ids"][..., 1]
             input_points = jnp.take_along_axis(
