@@ -128,19 +128,29 @@ def parse_args(argv=None):
                         choices=["train", "test", "demo"])
     parser.add_argument("--demo_path", type=str,
                         default="demo/inputs/scene0549_00.off")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="capture a jax.profiler trace to this dir")
     return parser.parse_args(argv)
 
 
 def main(argv=None):
+    import contextlib
+
     args = parse_args(argv)
     cfg = Config(args.config, mode=args.mode)
     initiate_environment(cfg.config.get("seed", 10))
     cfg.log_string(f"mode: {args.mode}")
-    if args.mode == "train":
-        return run_train(cfg)
-    if args.mode == "test":
-        return run_test(cfg)
-    return run_demo(cfg, args.demo_path)
+    ctx = contextlib.nullcontext()
+    if args.profile:
+        from .utils.profiling import trace
+
+        ctx = trace(args.profile)
+    with ctx:
+        if args.mode == "train":
+            return run_train(cfg)
+        if args.mode == "test":
+            return run_test(cfg)
+        return run_demo(cfg, args.demo_path)
 
 
 if __name__ == "__main__":

@@ -88,6 +88,8 @@ class Tester:
             threshold=cfg.config["data"]["threshold"],
             resolution0=gen_cfg["resolution_0"],
             upsampling_steps=gen_cfg["upsampling_steps"],
+            refinement_step=gen_cfg.get("refinement_step", 0) or 0,
+            simplify_nfaces=gen_cfg.get("simplify_nfaces"),
         )
         self.voxel_pool = ThreadPoolExecutor(8)
 

@@ -25,9 +25,17 @@ from .mesh import TriMesh
 from .native import marching_tetrahedra
 
 
+def _bucket_pow2(n: int, minimum: int = 256) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 class Generator3D:
     def __init__(self, decode_fn, threshold=0.5, resolution0=32,
-                 upsampling_steps=0, padding=0.1, points_batch_size=100000):
+                 upsampling_steps=0, padding=0.1, points_batch_size=100000,
+                 refinement_step=0, simplify_nfaces=None):
         """decode_fn: (features (Nb, c), cls_codes (Nb, nc), points
         (Nb, T, 3)) -> logits (Nb, T) — e.g. a jitted partial of
         ISCNet.decode_occupancy."""
@@ -37,6 +45,8 @@ class Generator3D:
         self.upsampling_steps = upsampling_steps
         self.padding = padding
         self.points_batch_size = points_batch_size
+        self.refinement_step = refinement_step
+        self.simplify_nfaces = simplify_nfaces
 
     def generate_meshes(self, features, cls_codes, valid=None):
         """Batched mesh generation. features (Nb, c_dim),
@@ -62,7 +72,19 @@ class Generator3D:
             if valid is not None and not bool(valid[i]):
                 meshes.append(TriMesh(np.zeros((0, 3)), np.zeros((0, 3))))
                 continue
-            meshes.append(self.extract_mesh(grids[i]))
+            mesh = self.extract_mesh(grids[i])
+            if self.simplify_nfaces and len(mesh.faces) > self.simplify_nfaces:
+                from .native import simplify_mesh
+
+                sv, st = simplify_mesh(
+                    mesh.vertices, mesh.faces, self.simplify_nfaces, 5.0
+                )  # aggressiveness per `generator.py:191`
+                mesh = TriMesh(sv, st)
+            if self.refinement_step:
+                mesh = self.refine_mesh(
+                    mesh, features[i], cls_codes[i], self.refinement_step
+                )
+            meshes.append(mesh)
         return meshes
 
     def _mise_grids(self, features, cls_codes):
@@ -73,6 +95,95 @@ class Generator3D:
             self.resolution0, self.upsampling_steps, self.threshold,
             self.padding,
         )
+
+    def refine_mesh(self, mesh: TriMesh, feature, cls_code, steps: int,
+                    seed: int = 0) -> TriMesh:
+        """Gradient-based vertex refinement (`generator.py:226-289`): per
+        step, sample a Dirichlet(0.5) point on each face, pull its decoder
+        occupancy toward the threshold and its face normal toward the
+        negative occupancy gradient; RMSprop(lr=1e-4) on the vertices.
+
+        TPU-first: the whole refinement is ONE jitted lax.scan (the
+        reference loops Python steps each issuing forward+backward);
+        vertex/face counts are bucketed to bound recompiles.
+        """
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        if steps <= 0 or len(mesh.vertices) == 0:
+            return mesh
+        V, F = len(mesh.vertices), len(mesh.faces)
+        Vb = _bucket_pow2(V)
+        Fb = _bucket_pow2(F)
+        verts0 = np.zeros((Vb, 3), np.float32)
+        verts0[:V] = mesh.vertices
+        faces = np.zeros((Fb, 3), np.int32)
+        faces[:F] = mesh.faces
+        fmask = np.zeros((Fb,), np.float32)
+        fmask[:F] = 1.0
+
+        decode = self.decode_fn
+        feature_b = jnp.asarray(feature)[None]
+        cls_b = jnp.asarray(cls_code)[None]
+
+        def occ_at(points):  # (Fb, 3) -> (Fb,) sigmoid occupancy
+            logits = decode(feature_b, cls_b, points[None])[0]
+            return jax.nn.sigmoid(logits)
+
+        tx = optax.rmsprop(1e-4)
+
+        def loss_fn(v, eps):
+            fv = v[faces]  # (Fb, 3, 3)
+            pts = jnp.sum(fv * eps[:, :, None], axis=1)
+            # padded faces are degenerate (all-zero verts); evaluate their
+            # (masked-out) decoder samples at a safe off-origin point so
+            # non-smooth decoders cannot inject NaN gradients through the
+            # 0-weighted branches
+            pts = jnp.where(fmask[:, None] > 0, pts, 0.3)
+            e1 = fv[:, 1] - fv[:, 0]
+            e2 = fv[:, 2] - fv[:, 1]
+            n = jnp.cross(e1, e2)
+            # sqrt(x + eps) normalization: |.| has a NaN gradient at 0 and
+            # marching-tet output contains zero-area faces
+            n = n * jax.lax.rsqrt(
+                jnp.sum(n * n, axis=1, keepdims=True) + 1e-16
+            )
+            occ_val = occ_at(pts)
+            tgt = -jax.grad(lambda p: jnp.sum(occ_at(p)))(pts)
+            tgt = tgt * jax.lax.rsqrt(
+                jnp.sum(tgt * tgt, axis=1, keepdims=True) + 1e-16
+            )
+            loss_target = jnp.sum(
+                (occ_val - self.threshold) ** 2 * fmask
+            ) / fmask.sum()
+            loss_normal = jnp.sum(
+                jnp.sum((n - tgt) ** 2, axis=1) * fmask
+            ) / fmask.sum()
+            return loss_target + 0.01 * loss_normal
+
+        @jax.jit
+        def run(v0, key):
+            opt_state = tx.init(v0)
+
+            def step(carry, key):
+                v, opt_state = carry
+                # Dirichlet(0.5, 0.5, 0.5) barycentric samples
+                g = jnp.maximum(jax.random.gamma(key, 0.5, (Fb, 3)), 1e-9)
+                eps = g / jnp.sum(g, axis=1, keepdims=True)
+                grads = jax.grad(loss_fn)(v, eps)
+                updates, opt_state = tx.update(grads, opt_state, v)
+                return (optax.apply_updates(v, updates), opt_state), None
+
+            (v, _), _ = jax.lax.scan(
+                step, (v0, opt_state), jax.random.split(key, steps)
+            )
+            return v
+
+        v = np.asarray(run(jnp.asarray(verts0), jax.random.PRNGKey(seed)))
+        out = mesh.copy()
+        out.vertices = v[:V].astype(np.float64)
+        return out
 
     def extract_mesh(self, value_grid: np.ndarray) -> TriMesh:
         """`generator.py:145-197` extract_mesh (minus simplify/refine)."""

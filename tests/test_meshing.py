@@ -214,3 +214,40 @@ class TestKDTree:
 
         pts_set = np.random.RandomState(1).rand(500, 3)
         assert kdtree_chamfer(pts_set, pts_set) == 0.0
+
+
+class TestGeneratorExtras:
+    def _generator(self, **kw):
+        import jax
+
+        from rfdnet_tpu.meshing.generator import Generator3D
+
+        def decode_fn(features, cls_codes, pts):
+            # batched analytic sphere occupancy logit, differentiable
+            import jax.numpy as jnp
+
+            r = jnp.linalg.norm(pts, axis=-1)
+            return 40.0 * (0.35 - r)
+
+        return Generator3D(decode_fn, resolution0=16, **kw)
+
+    def test_simplify_in_pipeline(self):
+        g = self._generator(simplify_nfaces=300)
+        meshes = g.generate_meshes(np.zeros((1, 4)), np.zeros((1, 8)))
+        assert 0 < len(meshes[0].faces) < len(
+            self._generator().generate_meshes(
+                np.zeros((1, 4)), np.zeros((1, 8))
+            )[0].faces
+        )
+
+    def test_refine_pulls_to_isosurface(self):
+        g = self._generator(refinement_step=30)
+        base = self._generator()
+        mesh = base.generate_meshes(np.zeros((1, 4)), np.zeros((1, 8)))[0]
+        noisy = mesh.copy()
+        rng = np.random.RandomState(0)
+        noisy.vertices = noisy.vertices + rng.randn(*noisy.vertices.shape) * 0.02
+        refined = g.refine_mesh(noisy, np.zeros(4), np.zeros(8), steps=300)
+        r_noisy = np.abs(np.linalg.norm(noisy.vertices, axis=1) - 0.35)
+        r_ref = np.abs(np.linalg.norm(refined.vertices, axis=1) - 0.35)
+        assert r_ref.mean() < 0.9 * r_noisy.mean()
