@@ -29,9 +29,10 @@ import jax
 import jax.numpy as jnp
 
 _LANE = 128
-# Max transient distance-matrix elements per chunk (f32): keeps the
-# materialised (chunk, N) slab ~64 MB at scene scale.
-_MAX_CHUNK_ELEMS = 16 * 1024 * 1024
+# Max transient distance-matrix elements per chunk (f32). Swept on v5e at
+# SA1 scale (2048x80k): 16M 3.27 ms, 32M 3.03 ms, 64M 4.04 ms, 128M
+# 5.51 ms -> 32M.
+_MAX_CHUNK_ELEMS = 32 * 1024 * 1024
 
 
 def _first_k_true(mask: jax.Array, k: int) -> jax.Array:
