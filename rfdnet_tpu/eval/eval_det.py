@@ -10,6 +10,8 @@ becomes a `concurrent.futures` fan-out with a serial fallback
 
 from __future__ import annotations
 
+import multiprocessing
+import os
 from concurrent.futures import ProcessPoolExecutor
 from typing import Callable
 
@@ -168,9 +170,13 @@ def eval_det(pred_all, gt_all, ovthresh=0.25, use_07_metric=False,
         for c in classes
     ]
     results = None
-    if parallel and len(classes) > 1:
+    if parallel and len(classes) > 1 and (os.cpu_count() or 1) > 1:
         try:
-            with ProcessPoolExecutor(max_workers=min(10, len(classes))) as ex:
+            # spawn context: fork() under JAX's threads can deadlock
+            ctx = multiprocessing.get_context("spawn")
+            with ProcessPoolExecutor(
+                max_workers=min(10, len(classes)), mp_context=ctx
+            ) as ex:
                 results = list(ex.map(_eval_cls_worker, jobs))
         except Exception:  # serial fallback (`eval_det.py:393-406`)
             results = None
