@@ -48,6 +48,16 @@ def synthetic_scene_batch(
     object_instance_labels = np.zeros((B, MAX_NUM_OBJ), np.float32)
     object_points = np.zeros((B, MAX_NUM_OBJ, num_obj_points, 3), np.float32)
     object_points_occ = np.zeros((B, MAX_NUM_OBJ, num_obj_points), np.float32)
+    # 16^3 canonical voxelization consistent with the occupancy labels
+    # below (inside points uniform in [-0.45, 0.45]^3): a grid cell is
+    # occupied iff its center lies in that box (`get_shapenet_voxels`
+    # provides the binvox equivalent for real data)
+    ax = -0.5 + 1.0 / 32 + np.arange(16) / 16.0
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    box_voxels = (
+        (np.abs(gx) <= 0.45) & (np.abs(gy) <= 0.45) & (np.abs(gz) <= 0.45)
+    ).astype(np.float32)
+    object_voxels = np.zeros((B, MAX_NUM_OBJ, 16, 16, 16), np.float32)
 
     angle_per_class = 2 * np.pi / num_heading_bin
 
@@ -100,6 +110,13 @@ def synthetic_scene_batch(
             object_points[b, o, :n_in] = p_in
             object_points[b, o, n_in:] = p_out
             object_points_occ[b, o, :n_in] = 1.0
+            # outside points in [-0.55, 0.55]^3 may fall inside the box:
+            # relabel them so supervision is consistent
+            out_in_box = np.all(
+                np.abs(object_points[b, o, n_in:]) <= 0.45, axis=-1
+            )
+            object_points_occ[b, o, n_in:] = out_in_box.astype(np.float32)
+            object_voxels[b, o] = box_voxels
 
         all_pts = np.concatenate(pts, axis=0)[:num_points]
         pc[b, :, :3] = all_pts
@@ -121,6 +138,7 @@ def synthetic_scene_batch(
         "object_instance_labels": object_instance_labels,
         "object_points": object_points,
         "object_points_occ": object_points_occ,
+        "object_voxels": object_voxels,
     }
 
 

@@ -31,6 +31,8 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--points", type=int, default=20000)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--phase", type=str, default="detection",
+                   choices=["detection", "completion"])
     args = p.parse_args()
 
     import jax
@@ -49,7 +51,7 @@ def main():
     cfg = Config(
         {
             "data": {"num_point": args.points},
-            "test": {"phase": "detection", "batch_size": 1,
+            "test": {"phase": args.phase, "batch_size": 1,
                      "ap_iou_thresholds": [0.25]},
             "generation": {"generate_mesh": False},
             "log": {"path": "/tmp/sanity_train"},
@@ -62,7 +64,8 @@ def main():
     from rfdnet_tpu.models import ISCNet
 
     train_model = ISCNet(
-        mean_size_arr=dc.mean_size_arr, phase="detection",
+        mean_size_arr=dc.mean_size_arr, phase=args.phase,
+        completion_limit=4, generate_limit=8,
     )
 
     rng = np.random.RandomState(0)
@@ -100,9 +103,12 @@ def main():
         )
         state, losses = step(state, batch, jax.random.fold_in(key, it), lr, bnm)
         if it % 100 == 0:
+            extra = ""
+            if "completion_loss" in losses:
+                extra = f" compl {float(losses['completion_loss']):.1f}"
             print(f"step {it}: total {float(losses['total']):.2f} "
                   f"obj_acc {float(losses['obj_acc']):.3f} "
-                  f"box {float(losses['box_loss']):.3f}")
+                  f"box {float(losses['box_loss']):.3f}" + extra)
     print(f"trained {args.steps} steps in {time.time() - t0:.0f}s")
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -117,7 +123,7 @@ def main():
 
     metrics = tester.run(_Loader(), ap_iou_thresholds=[0.25])
     for k, v in metrics.items():
-        if "mAP" in k or "AR" in k:
+        if "mAP" in k or "AR" in k or "voxel IoU" in k:
             print(f"{k}: {v:.4f}")
     return metrics
 
