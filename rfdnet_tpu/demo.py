@@ -66,10 +66,12 @@ def generate(cfg, model: ISCNet, variables, data: dict,
     parsed = {k: np.asarray(v) for k, v in parsed.items()}
     gen = {k: np.asarray(v) for k, v in gen.items()}
 
+    z_rng = (jax.random.PRNGKey(42)
+             if gen_cfg.get("use_sampling") else None)
     decode = jax.jit(
         lambda f, c, p: model.apply(
             variables, f, c, p, method=ISCNet.decode_occupancy,
-            mutable=False,
+            mutable=False, rng=z_rng,
         )
     )
     generator = Generator3D(

@@ -75,12 +75,15 @@ class Tester:
                 nms_iou=ec["nms_iou"],
                 use_cls_nms=ec["cls_nms"],
                 dump_threshold=self.dump_threshold,
+                remove_empty_box=ec.get("remove_empty_box", False),
             )
         )
+        z_rng = (jax.random.PRNGKey(42)
+                 if gen_cfg.get("use_sampling") else None)
         decode = jax.jit(
             lambda f, c, p: model.apply(
                 variables, f, c, p, method=ISCNet.decode_occupancy,
-                mutable=False,
+                mutable=False, rng=z_rng,
             )
         )
         self.generator = Generator3D(

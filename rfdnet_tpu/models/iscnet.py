@@ -283,7 +283,8 @@ class ISCNet(nn.Module):
 
     # ---------------------------------------------------------- generate
     def generate_detections(self, point_clouds, conf_thresh=0.05,
-                            nms_iou=0.25, use_cls_nms=True):
+                            nms_iou=0.25, use_cls_nms=True,
+                            remove_empty_box=False):
         """Eval-mode detection + on-device box decode + NMS.
 
         Returns (end_points, proposal_features, parsed) where parsed holds
@@ -292,10 +293,14 @@ class ISCNet(nn.Module):
         contract of `ap_helper.py:131-264`).
         """
         end_points, proposal_features = self.detect(point_clouds, False)
-        parsed = self.parse_predictions(end_points, nms_iou, use_cls_nms)
+        parsed = self.parse_predictions(
+            end_points, nms_iou, use_cls_nms,
+            point_clouds=point_clouds, remove_empty_box=remove_empty_box,
+        )
         return end_points, proposal_features, parsed
 
-    def parse_predictions(self, end_points, nms_iou=0.25, use_cls_nms=True):
+    def parse_predictions(self, end_points, nms_iou=0.25, use_cls_nms=True,
+                          point_clouds=None, remove_empty_box=False):
         heading_angles = self._heading_angles(end_points)
         pred_size_class = jnp.argmax(end_points["size_scores"], axis=-1)
         mean_sizes = jnp.asarray(self.mean_size_arr, dtype=jnp.float32)
@@ -314,12 +319,50 @@ class ISCNet(nn.Module):
         sem_cls_probs = jax.nn.softmax(end_points["sem_cls_scores"], axis=-1)
         pred_sem_cls = jnp.argmax(end_points["sem_cls_scores"], axis=-1)
 
+        valid = None
+        if remove_empty_box and point_clouds is not None:
+            # `ap_helper.py:140-152`: drop proposals whose (slightly
+            # enlarged) box contains no scene points. On-device OBB test,
+            # chunked over proposals to bound the (chunk, N, 3) slab.
+            B, K, _ = end_points["center"].shape
+            centers = end_points["center"]  # depth frame
+            c, s = jnp.cos(heading_angles), jnp.sin(heading_angles)
+
+            def per_scene(pc_i, ctr_i, c_i, s_i, size_i):
+                def count_chunk(ctr, cc, ss, size):
+                    rel = pc_i[None, :, :3] - ctr[:, None, :]
+                    lx = cc[:, None] * rel[..., 0] + ss[:, None] * rel[..., 1]
+                    ly = -ss[:, None] * rel[..., 0] + cc[:, None] * rel[..., 1]
+                    inside = (
+                        (jnp.abs(lx) <= size[:, None, 0] * 0.55)
+                        & (jnp.abs(ly) <= size[:, None, 1] * 0.55)
+                        & (jnp.abs(rel[..., 2]) <= size[:, None, 2] * 0.55)
+                    )
+                    return jnp.sum(inside, axis=-1)
+
+                Kc = 32
+                parts = []
+                for k0 in range(0, K, Kc):
+                    parts.append(count_chunk(
+                        ctr_i[k0 : k0 + Kc], c_i[k0 : k0 + Kc],
+                        s_i[k0 : k0 + Kc], size_i[k0 : k0 + Kc],
+                    ))
+                return jnp.concatenate(parts)
+
+            counts = jax.vmap(
+                lambda pc_i, ctr_i, c_i, s_i, size_i: per_scene(
+                    pc_i, ctr_i, c_i, s_i, size_i
+                ), in_axes=(0, 0, 0, 0, 0),
+            )(point_clouds[..., :3], centers, c, s, box_size)
+            valid = counts >= 5
+
         aabb = corners_to_aabb(corners_cam)
         pred_mask = nms_3d(
             aabb,
             obj_prob,
             pred_sem_cls if use_cls_nms else None,
             nms_iou,
+            valid=valid,
         )
         return {
             "pred_corners_3d_upright_camera": corners_cam,
@@ -408,7 +451,8 @@ class ISCNet(nn.Module):
         }
 
     def generate(self, data, nms_iou=0.25, use_cls_nms=True,
-                 dump_threshold=0.5, export_voxels=True):
+                 dump_threshold=0.5, export_voxels=True,
+                 remove_empty_box=False):
         """Full test-time forward (`network.py:56-180` minus host-side mesh
         extraction): detection + on-device NMS, completion conditioning,
         eval completion loss on the GT-assigned occupancy pairs, and the
@@ -422,7 +466,8 @@ class ISCNet(nn.Module):
         Returns dict with parsed, gen, completion_loss, shape voxels.
         """
         end_points, proposal_features, parsed = self.generate_detections(
-            data["point_clouds"], nms_iou=nms_iou, use_cls_nms=use_cls_nms
+            data["point_clouds"], nms_iou=nms_iou, use_cls_nms=use_cls_nms,
+            remove_empty_box=remove_empty_box,
         )
         out = {"end_points": end_points, "parsed": parsed}
         if self.phase != "completion":
@@ -450,12 +495,22 @@ class ISCNet(nn.Module):
             out["shape_voxels"] = voxels
         return out
 
-    def decode_occupancy(self, features, cls_codes, points):
+    def decode_occupancy(self, features, cls_codes, points, rng=None):
         """Batched occupancy-logit evaluation for mesh extraction.
 
         features (Nb, c_dim), cls_codes (Nb, num_class), points (Nb, T, 3)
-        -> logits (Nb, T). Eval mode, prior-mean z (`generator.py:123-143`).
+        -> logits (Nb, T). Eval mode; z is the prior mean, or a prior
+        sample when `rng` is given (the `generation.use_sampling` option,
+        `generator.py:100-104` sample_z from get_prior_z).
         """
+        if rng is not None:
+            import jax
+
+            c = self.completion._cond(features, cls_codes)
+            z = jax.random.normal(
+                rng, (c.shape[0], self.completion.z_dim)
+            )
+            return self.completion.decode(points, z, c, False)
         return self.completion(points, features, cls_codes, train=False)
 
     # ------------------------------------------------------------- loss

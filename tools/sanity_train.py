@@ -33,6 +33,12 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--phase", type=str, default="detection",
                    choices=["detection", "completion"])
+    p.add_argument("--save-to", type=str, default=None,
+                   help="save final weights (orbax dir)")
+    p.add_argument("--finetune-from", type=str, default=None,
+                   help="partial-load weights from a saved dir")
+    p.add_argument("--freeze", type=str, default="",
+                   help="comma-separated submodules to freeze")
     args = p.parse_args()
 
     import jax
@@ -86,7 +92,15 @@ def main():
         jnp.asarray, stack(train_scenes[: args.batch])
     )
     state = init_state(train_model, tx, sample)
-    step = make_train_step(train_model, dc, tx, donate=True)
+    frozen = tuple(s for s in args.freeze.split(",") if s)
+    if args.finetune_from:
+        from rfdnet_tpu.train.checkpoint import CheckpointIO
+
+        ckpt = CheckpointIO(os.path.dirname(args.finetune_from) or ".",
+                            log=print)
+        state = ckpt.finetune(state, args.finetune_from)
+        state = jax.tree_util.tree_map(jnp.asarray, state)
+    step = make_train_step(train_model, dc, tx, frozen=frozen, donate=True)
     key = jax.random.PRNGKey(0)
     lr = jnp.float32(args.lr)
     bnm = jnp.float32(0.5)
@@ -111,6 +125,12 @@ def main():
                   f"box {float(losses['box_loss']):.3f}" + extra)
     print(f"trained {args.steps} steps in {time.time() - t0:.0f}s")
 
+    if args.save_to:
+        from rfdnet_tpu.train.checkpoint import CheckpointIO
+
+        CheckpointIO(os.path.dirname(args.save_to) or ".", log=print).save(
+            os.path.basename(args.save_to), state, {"steps": args.steps}
+        )
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     tester = Tester(cfg, train_model, variables, dc, log=print)
 
