@@ -109,9 +109,31 @@ def run_test(cfg: Config):
     metrics = tester.run(
         loaders["test"], ap_iou_thresholds=thresholds, dump_dir=dump_dir
     )
-    for k, v in metrics.items():
-        cfg.log_string(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
+    for line in format_ap_table(metrics, thresholds):
+        cfg.log_string(line)
     return metrics
+
+
+def format_ap_table(metrics: dict, thresholds) -> list:
+    """Per-class AP/AR table like the reference's end-of-test print
+    (`test_epoch.py:62-68`)."""
+    lines = []
+    for t in thresholds:
+        lines.append(f"----- AP @ IoU {t} -----")
+        lines.append(f"{'class':<16}{'AP':>10}{'Recall':>10}")
+        for k in sorted(metrics):
+            if k.endswith(f"Average Precision @{t}"):
+                cls = k[: -len(f" Average Precision @{t}")]
+                rec = metrics.get(f"{cls} Recall @{t}", 0.0)
+                lines.append(f"{cls:<16}{metrics[k]:>10.4f}{rec:>10.4f}")
+        for agg in ("mAP", "AR", "mAP_mesh", "AR_mesh"):
+            key = f"{agg} @{t}"
+            if key in metrics:
+                lines.append(f"{agg:<16}{metrics[key]:>10.4f}")
+    for k, v in sorted(metrics.items()):
+        if "voxel IoU" in k:
+            lines.append(f"{k}: {v:.4f}")
+    return lines
 
 
 def run_demo(cfg: Config, demo_path: str):
