@@ -122,7 +122,7 @@ class Tester:
         losses = {"total": 0.0}
         if "completion_loss" in out:
             losses["completion loss"] = float(out["completion_loss"])
-            losses["mask loss"] = 0.0  # documented deviation (ISCNet.generate)
+            losses["mask loss"] = float(gen.get("mask_loss", 0.0))
             losses["total"] = losses["completion loss"]
 
         # per-class voxel IoU stats (`network.py:144-150`)

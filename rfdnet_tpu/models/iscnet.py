@@ -423,11 +423,25 @@ class ISCNet(nn.Module):
             self._heading_angles(end_points), top_ids, axis=1
         )
 
+        mask_loss = jnp.float32(0.0)
         if self.skip_propagate:
-            object_input_features = self.skip_propagation.generate(
-                pred_centers, heading_angles, sel_features,
-                data["point_clouds"],
-            )
+            if "point_instance_labels" in data:
+                # test mode: the reference runs the SUPERVISED skip
+                # propagation at generate time too, producing a mask loss
+                # (`network.py:124-128`)
+                proposal_instance_labels = jnp.take_along_axis(
+                    data["object_instance_labels"], gt_ids, axis=1
+                )
+                object_input_features, mask_loss = self.skip_propagation(
+                    pred_centers, heading_angles, sel_features,
+                    data["point_clouds"], data["point_instance_labels"],
+                    proposal_instance_labels, False, None,
+                )
+            else:  # demo mode: argmax mask, no supervision
+                object_input_features = self.skip_propagation.generate(
+                    pred_centers, heading_angles, sel_features,
+                    data["point_clouds"],
+                )
         else:
             object_input_features = sel_features
 
@@ -448,6 +462,7 @@ class ISCNet(nn.Module):
             "cls_codes": cls_codes.reshape(B * G, -1),
             "centers": pred_centers,
             "heading_angles": heading_angles,
+            "mask_loss": mask_loss,
         }
 
     def generate(self, data, nms_iou=0.25, use_cls_nms=True,
@@ -458,12 +473,9 @@ class ISCNet(nn.Module):
         eval completion loss on the GT-assigned occupancy pairs, and the
         16^3 shape voxels used for per-class voxel-IoU stats.
 
-        Note: at test time the reference still runs skip-propagation in its
-        supervised forward to obtain a mask loss; here the unsupervised
-        `generate` mask is used and mask_loss is reported as 0 (documented
-        deviation — affects logged losses only, not metrics).
-
-        Returns dict with parsed, gen, completion_loss, shape voxels.
+        Returns dict with parsed, gen (incl. test-time mask_loss when
+        instance labels are present, `network.py:124-128`),
+        completion_loss, shape voxels.
         """
         end_points, proposal_features, parsed = self.generate_detections(
             data["point_clouds"], nms_iou=nms_iou, use_cls_nms=use_cls_nms,

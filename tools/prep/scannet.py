@@ -320,6 +320,11 @@ def generate_scene(annotation: dict, scans_root: str, shapenet_root: str,
         up_id = int(np.argmax(axes_t[:, 2]))
         fwd_id = 0 if up_id != 0 else 1
         left_id = int(np.setdiff1d([0, 1, 2], [up_id, fwd_id])[0])
+        if np.linalg.norm(axes_t[fwd_id][:2]) < 1e-8:
+            # degenerate: chosen forward is vertical (the reference would
+            # NaN here; unseen in real Scan2CAD) — use the other
+            # horizontal axis as forward
+            fwd_id, left_id = left_id, fwd_id
         fwd = np.array([*axes_t[fwd_id][:2], 0.0])
         fwd = normalize(fwd)
         up = np.array([0.0, 0.0, 1.0])
