@@ -3,7 +3,7 @@
 Replaces the reference CUDA kernel
 (`external/pointnet2_ops_lib/pointnet2_ops/_ext-src/src/ball_query_gpu.cu:9-44`).
 
-Reference semantics (preserved exactly):
+Reference semantics (preserved; one documented boundary caveat below):
 - for each query center, return the indices of the first (in point-index
   order) <= nsample points with squared distance < radius^2,
 - when the first in-radius point is found, ALL nsample slots are initialised
@@ -21,6 +21,12 @@ TPU design:
    lane — ~3 vector passes over the mask, no top-k / sort anywhere (top_k
    over 80k keys measured ~70x slower on v5e).
 Memory is bounded by chunking query centers through ``lax.map``.
+
+Boundary caveat: the pairwise distance uses the quadratic-form expansion
+|c|^2 + |p|^2 - 2 c.p (MXU), whose f32 rounding differs from the direct
+(c - p)^2 sum by ~1 ULP; points within ~1e-6 of the radius boundary can
+flip in/out vs a CPU oracle (measured on v5e at SA1 scale: 3 of 2048
+rows, each off by one such point). Semantically immaterial at r >= 0.2.
 """
 
 from __future__ import annotations
