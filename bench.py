@@ -37,7 +37,8 @@ os.environ.setdefault(
 
 REF_SCENES_PER_SEC_EST = 0.4  # estimated reference GPU throughput (see above)
 
-NUM_POINTS = 80_000
+NUM_POINTS = int(os.environ.get("BENCH_POINTS", 80_000))
+BATCH = int(os.environ.get("BENCH_BATCH", 1))  # scenes per device call
 GRID_RES = 32
 GENERATE_LIMIT = 8  # proposals reconstructed per scene (demo-scale)
 WARMUP = 2
@@ -60,7 +61,7 @@ def main() -> None:
     )
 
     batch = synthetic_scene_batch(
-        np.random.RandomState(0), batch_size=1, num_points=NUM_POINTS,
+        np.random.RandomState(0), batch_size=BATCH, num_points=NUM_POINTS,
         mean_size_arr=dc.mean_size_arr,
     )
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
@@ -136,7 +137,7 @@ def main() -> None:
     t_null = time.perf_counter() - t0
     dt = max(t_run - t_null, 1e-9) / ITERS
 
-    value = 1.0 / dt
+    value = BATCH / dt
     print(json.dumps({
         "metric": "scenes_per_sec_detect_recon",
         "value": round(value, 4),
