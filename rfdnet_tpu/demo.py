@@ -11,7 +11,6 @@ optionally refit boxes to the scan, and dump
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import numpy as np

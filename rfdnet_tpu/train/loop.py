@@ -87,8 +87,6 @@ class Trainer:
         shape export enabled."""
         if self.model.phase != "completion" or "object_voxels" not in batch:
             return
-        from ..models.iscnet import ISCNet
-        from ..utils.logging import initiate_environment  # noqa: F401
         from ..utils.visualization import dump_training_snapshot
 
         if self._vis_fn is None:
