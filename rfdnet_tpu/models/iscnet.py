@@ -159,8 +159,11 @@ class ISCNet(nn.Module):
         xyz, features = self.voting(
             xyz, features, self._train_flag("voting", train), bn_momentum
         )
+        # L2-normalize (`network.py:322-324`); the reference divides by the
+        # raw norm — guard against feature collapse (norm -> 0 would NaN
+        # the whole graph under aggressive joint training)
         norm = jnp.linalg.norm(features, axis=-1, keepdims=True)
-        features = features / norm
+        features = features / jnp.maximum(norm, 1e-8)
         end_points["vote_xyz"] = xyz
         end_points["vote_features"] = features
 

@@ -88,6 +88,11 @@ class ONet(nn.Module):
         Nb = c.shape[0]
         if self.z_dim > 0:
             mean_z, logstd_z = self.infer_z(input_points, input_points_occ, c)
+            # clamp before exp: with a small completion weight the KL term
+            # is too weak to contain logstd drift, and exp overflow poisons
+            # the JOINT loss with inf/NaN (0 * inf == NaN kills detection
+            # gradients too). Invisible in the normal regime (|logstd|<~5).
+            logstd_z = jnp.clip(logstd_z, -20.0, 20.0)
             std = jnp.exp(logstd_z)
             if train and rng is not None:
                 z = mean_z + std * jax.random.normal(rng, mean_z.shape)
