@@ -121,6 +121,9 @@ class Config:
         ]:
             if src in mode_cfg:
                 self.eval_config[dst] = mode_cfg[src]
+        if "faster_eval" in mode_cfg:
+            # `config_utils.py:139`: remove_empty_box = not faster_eval
+            self.eval_config["remove_empty_box"] = not mode_cfg["faster_eval"]
         self.eval_config["dataset_config"] = self.dataset_config
 
         self.save_path = None

@@ -84,3 +84,12 @@ def test_scannet_codec_roundtrip():
     # round trip modulo 2pi into [-pi, pi]
     diff = np.mod(back - angles + np.pi, 2 * np.pi) - np.pi
     np.testing.assert_allclose(diff, 0, atol=1e-9)
+
+
+def test_faster_eval_maps_to_remove_empty_box():
+    cfg = Config({"test": {"phase": "completion", "faster_eval": False}},
+                 mode="test", make_dirs=False)
+    assert cfg.eval_config["remove_empty_box"] is True
+    cfg2 = Config({"val": {"phase": "detection", "faster_eval": True}},
+                  mode="val", make_dirs=False)
+    assert cfg2.eval_config["remove_empty_box"] is False
