@@ -57,6 +57,7 @@ _DEFAULTS: dict[str, Any] = {
         "completion_limit_in_train": 10,
         "use_cls_for_completion": False,
         "skip_propagate": True,
+        "decoder_bf16": False,
     },
     "model": {},
     "optimizer": {
@@ -174,6 +175,7 @@ class Config:
             use_cls_for_completion=d["use_cls_for_completion"],
             completion_limit=d["completion_limit_in_train"],
             generate_limit=generate_limit,
+            decoder_dtype="bfloat16" if d.get("decoder_bf16") else None,
             bn_axis_name=bn_axis_name,
             fps_impl=fps_impl,
         )

@@ -30,17 +30,36 @@ def torch_bias_init(fan_in: int):
 
 
 class Dense(nn.Module):
-    """nn.Dense with torch-default initialization (weight AND bias)."""
+    """nn.Dense with torch-default initialization (weight AND bias).
+
+    `compute_dtype` casts the matmul operands (params stay f32, the
+    accumulator and output are f32 via preferred_element_type) — the MXU
+    runs bf16 passes ~4x faster than f32 for roofline-bound layers."""
 
     features: int
     use_bias: bool = True
     kernel_init: nn.initializers.Initializer | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
         kinit = self.kernel_init or torch_kernel_init
         kernel = self.param("kernel", kinit, (in_features, self.features))
+        if self.compute_dtype is not None:
+            # f32 accumulate, outputs stored back in the compute dtype so
+            # bf16 activation chains never round-trip f32 through HBM
+            y = jnp.dot(
+                x.astype(self.compute_dtype),
+                kernel.astype(self.compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            if self.use_bias:
+                bias = self.param(
+                    "bias", torch_bias_init(in_features), (self.features,)
+                )
+                y = y + bias
+            return y.astype(self.compute_dtype)
         y = jnp.dot(x, kernel)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_features), (self.features,))

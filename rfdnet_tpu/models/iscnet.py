@@ -107,6 +107,7 @@ class ISCNet(nn.Module):
     # `models/network.py:57-79`; the gradient mask lives in the trainer)
     bn_axis_name: str | None = None
     fps_impl: str | None = None
+    decoder_dtype: str | None = None  # "bfloat16": MXU fast decode path
 
     def setup(self):
         kw = dict(bn_axis_name=self.bn_axis_name)
@@ -138,6 +139,7 @@ class ISCNet(nn.Module):
                 threshold=self.threshold,
                 use_cls_for_completion=self.use_cls_for_completion,
                 num_class=self.num_class,
+                decoder_dtype=self.decoder_dtype,
                 **kw,
             )
 

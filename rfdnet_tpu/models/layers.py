@@ -60,6 +60,10 @@ class CBatchNorm(nn.Module):
 
         bn = _AffinelessBatchNorm(axis_name=self.bn_axis_name, name="bn")
         net = bn(x, train, bn_momentum)
+        # dtype-preserving: with bf16 activations the affine runs in bf16
+        # (params/statistics stay f32) so no f32 intermediates hit HBM
+        g = g.astype(net.dtype)
+        b = b.astype(net.dtype)
         return g[:, None, :] * net + b[:, None, :]
 
 
@@ -80,8 +84,9 @@ class _AffinelessBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
         )
         if train:
-            mean = jnp.mean(x, axis=reduce_axes)
-            mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes)
+            xf = x.astype(jnp.float32)  # f32 statistics from any input dtype
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
             if self.axis_name is not None:
                 mean = jax.lax.pmean(mean, self.axis_name)
                 mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
@@ -96,7 +101,10 @@ class _AffinelessBatchNorm(nn.Module):
                 ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
-        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # fold to a single multiply-add in the input dtype (bf16-safe)
+        scale = jax.lax.rsqrt(var + self.epsilon)
+        shift = (-mean * scale).astype(x.dtype)
+        return x * scale.astype(x.dtype) + shift
 
 
 class CResnetBlockConv1d(nn.Module):
@@ -105,6 +113,7 @@ class CResnetBlockConv1d(nn.Module):
     size_h: int | None = None
     size_out: int | None = None
     bn_axis_name: str | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, c, train: bool, bn_momentum=None):
@@ -116,13 +125,14 @@ class CResnetBlockConv1d(nn.Module):
                 x, c, train, bn_momentum
             )
         )
-        net = Dense(size_h, name="fc_0")(net)
+        net = Dense(size_h, name="fc_0", compute_dtype=self.compute_dtype)(net)
         net = nn.relu(
             CBatchNorm(size_h, self.bn_axis_name, name="bn_1")(
                 net, c, train, bn_momentum
             )
         )
-        dx = Dense(size_out, kernel_init=nn.initializers.zeros, name="fc_1")(net)
+        dx = Dense(size_out, kernel_init=nn.initializers.zeros, name="fc_1",
+                   compute_dtype=self.compute_dtype)(net)
         if size_in == size_out:
             x_s = x
         else:
@@ -157,23 +167,38 @@ class ResnetPointnet(nn.Module):
 class DecoderCBatchNorm(nn.Module):
     """Conditional-batch-norm implicit decoder (`occ_decoder.py:71-122`):
     fc_p Conv1d(3->hidden), optional fc_z, 5 CResnet blocks conditioned on
-    c, CBN -> ReLU -> Conv1d(hidden->1) logits."""
+    c, CBN -> ReLU -> Conv1d(hidden->1) logits.
+
+    `compute_dtype="bfloat16"` runs the block matmuls in bf16 (f32
+    accumulate + f32 normalization/params) — the decode stage is MXU
+    roofline-bound at generation time; opt-in via the
+    `data.decoder_bf16` config."""
 
     hidden_size: int = 256
     n_blocks: int = 5
     z_dim: int = 32
     bn_axis_name: str | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, p, z, c, train: bool, bn_momentum=None):
         """p (B, T, 3), z (B, z_dim) or None, c (B, c_dim) -> logits (B, T)."""
+        dt = self.compute_dtype
         net = Dense(self.hidden_size, name="fc_p")(p)
         if self.z_dim != 0 and z is not None:
             net = net + Dense(self.hidden_size, name="fc_z")(z)[:, None, :]
+        if dt is not None:
+            # activations stay in `dt` through the whole block stack (the
+            # stage is HBM-bound; bf16 halves activation traffic). Params,
+            # BN statistics, and the dot accumulators remain f32.
+            net = net.astype(dt)
         for i in range(self.n_blocks):
             net = CResnetBlockConv1d(
-                bn_axis_name=self.bn_axis_name, name=f"block{i}"
+                bn_axis_name=self.bn_axis_name, name=f"block{i}",
+                compute_dtype=dt,
             )(net, c, train, bn_momentum)
+        if dt is not None:
+            net = net.astype(jnp.float32)
         net = nn.relu(
             CBatchNorm(self.hidden_size, self.bn_axis_name, name="bn")(
                 net, c, train, bn_momentum

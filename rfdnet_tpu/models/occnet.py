@@ -33,12 +33,14 @@ class ONet(nn.Module):
     use_cls_for_completion: bool = False
     num_class: int = 8
     bn_axis_name: str | None = None
+    decoder_dtype: str | None = None  # "bfloat16" for MXU fast path
 
     def setup(self):
         if self.z_dim != 0:
             self.encoder_latent = EncoderLatent(z_dim=self.z_dim)
         self.decoder = DecoderCBatchNorm(
-            z_dim=self.z_dim, bn_axis_name=self.bn_axis_name
+            z_dim=self.z_dim, bn_axis_name=self.bn_axis_name,
+            compute_dtype=self.decoder_dtype,
         )
 
     def _cond(self, features, cls_codes):
