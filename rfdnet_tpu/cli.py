@@ -75,6 +75,20 @@ def _restore_variables(cfg: Config, model, sample_batch):
         k: jnp.asarray(v) for k, v in sample_batch.items()
         if not isinstance(v, list)
     }
+    if "center_label" not in batch:
+        # demo mode: raw scans carry no GT labels, but the train forward
+        # used for init needs them to trace every submodule — init on a
+        # tiny synthetic labeled batch instead (param/stat shapes are
+        # independent of the point count)
+        from .data.synthetic import synthetic_scene_batch
+
+        pc = batch["point_clouds"]
+        synth = synthetic_scene_batch(
+            np.random.RandomState(0), batch_size=1, num_points=4096,
+            mean_size_arr=np.asarray(cfg.dataset_config.mean_size_arr),
+        )
+        synth["point_clouds"] = synth["point_clouds"][..., : pc.shape[2]]
+        batch = {k: jnp.asarray(v) for k, v in synth.items()}
     variables = model.init(
         jax.random.PRNGKey(cfg.config.get("seed", 10)), batch,
         train=False, rng=jax.random.PRNGKey(0),

@@ -326,8 +326,8 @@ class ISCNet(nn.Module):
 
         valid = None
         if remove_empty_box and point_clouds is not None:
-            # `ap_helper.py:140-152`: drop proposals whose (slightly
-            # enlarged) box contains no scene points. On-device OBB test,
+            # `ap_helper.py:140-152`: drop proposals whose box contains
+            # fewer than 5 scene points. On-device OBB test,
             # chunked over proposals to bound the (chunk, N, 3) slab.
             B, K, _ = end_points["center"].shape
             centers = end_points["center"]  # depth frame
@@ -338,10 +338,13 @@ class ISCNet(nn.Module):
                     rel = pc_i[None, :, :3] - ctr[:, None, :]
                     lx = cc[:, None] * rel[..., 0] + ss[:, None] * rel[..., 1]
                     ly = -ss[:, None] * rel[..., 0] + cc[:, None] * rel[..., 1]
+                    # exact box half-extents: the reference tests the
+                    # unenlarged corner hull (`ap_helper.py:146-149`
+                    # extract_pc_in_box3d on get_3d_box corners)
                     inside = (
-                        (jnp.abs(lx) <= size[:, None, 0] * 0.55)
-                        & (jnp.abs(ly) <= size[:, None, 1] * 0.55)
-                        & (jnp.abs(rel[..., 2]) <= size[:, None, 2] * 0.55)
+                        (jnp.abs(lx) <= size[:, None, 0] * 0.5)
+                        & (jnp.abs(ly) <= size[:, None, 1] * 0.5)
+                        & (jnp.abs(rel[..., 2]) <= size[:, None, 2] * 0.5)
                     )
                     return jnp.sum(inside, axis=-1)
 

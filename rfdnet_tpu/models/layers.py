@@ -16,6 +16,14 @@ from .common import BatchNorm, Dense, max_pool_points
 
 
 class ResnetBlockFC(nn.Module):
+    """NOTE the residual-path quirk: the reference's ``actvn`` is
+    ``nn.ReLU(inplace=True)`` applied directly to ``x``
+    (`layers.py:30,40`), so by the time the shortcut/identity path reads
+    ``x`` it has been overwritten with ``relu(x)``. The function actually
+    computed (and trained) is ``shortcut(relu(x)) + fc_1(relu(fc_0(relu(x))))``
+    — replicated here for numerical parity (verified against the torch
+    module in tests/test_parity_torch.py)."""
+
     size_out: int | None = None
     size_h: int | None = None
 
@@ -24,14 +32,15 @@ class ResnetBlockFC(nn.Module):
         size_in = x.shape[-1]
         size_out = self.size_out or size_in
         size_h = self.size_h or min(size_in, size_out)
-        net = Dense(size_h, name="fc_0")(nn.relu(x))
+        xr = nn.relu(x)
+        net = Dense(size_h, name="fc_0")(xr)
         dx = Dense(size_out, kernel_init=nn.initializers.zeros, name="fc_1")(
             nn.relu(net)
         )
         if size_in == size_out:
-            x_s = x
+            x_s = xr
         else:
-            x_s = Dense(size_out, use_bias=False, name="shortcut")(x)
+            x_s = Dense(size_out, use_bias=False, name="shortcut")(xr)
         return x_s + dx
 
 

@@ -81,3 +81,38 @@ def test_run_test_detection_metrics(tiny_dataset, tmp_path):
     assert len(dumped) == 2
     for d in dumped:
         assert os.path.exists(tmp_path / "vis" / d / "pred_map_cls.txt")
+
+
+def test_run_demo_mode(tmp_path):
+    """Demo mode end-to-end on a raw (label-free) scan: init-from-synthetic
+    (`cli._restore_variables`), detection -> NMS -> completion -> meshes ->
+    artifact dump (`demo.py run`). Regression for the demo-mode init crash
+    (raw scans carry no GT labels)."""
+    from rfdnet_tpu import demo
+
+    rng = np.random.RandomState(3)
+    verts = rng.rand(3000, 3).astype(np.float32) * 3
+    off = tmp_path / "room.off"
+    with open(off, "w") as f:
+        f.write("OFF\n%d 0 0\n" % len(verts))
+        for v in verts:
+            f.write("%f %f %f\n" % tuple(v))
+
+    from rfdnet_tpu.config.config import Config
+
+    cfg = Config(
+        {
+            "data": {"num_point": 1024},
+            "demo": {"phase": "completion"},
+            "generation": {"resolution_0": 8, "dump_threshold": 0.0},
+            "log": {"path": str(tmp_path / "out")},
+        },
+        mode="demo",
+    )
+    out_dir = demo.run(cfg, str(off))
+    files = os.listdir(out_dir)
+    assert "000000_pc.ply" in files
+    assert "000000_pred_confident_nms_bbox.npz" in files
+    assert "pred.png" in files
+    bbox = np.load(os.path.join(out_dir, "000000_pred_confident_nms_bbox.npz"))
+    assert bbox["obbs"].shape[1] == 7
