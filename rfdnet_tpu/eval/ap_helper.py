@@ -125,10 +125,15 @@ class APCalculator:
     """`ap_helper.py:25-128`."""
 
     def __init__(self, ap_iou_thresh=0.25, class2type_map=None,
-                 mesh_iou_func=None):
+                 mesh_iou_func=None, use_07_metric=True):
+        """use_07_metric defaults True: the reference's APCalculator runs
+        `eval_det_multiprocessing_wo_mesh` without overriding its
+        `use_07_metric=True` default (`eval_det.py:424`, `ap_helper.py:65`),
+        i.e. the published protocol is 11-point interpolated AP."""
         self.ap_iou_thresh = ap_iou_thresh
         self.class2type_map = class2type_map
         self.mesh_iou_func = mesh_iou_func
+        self.use_07_metric = use_07_metric
         self.reset()
 
     def reset(self):
@@ -146,6 +151,7 @@ class APCalculator:
     def compute_metrics(self, parallel=True):
         res = eval_det(
             self.pred_map_cls, self.gt_map_cls, ovthresh=self.ap_iou_thresh,
+            use_07_metric=self.use_07_metric,
             mesh_iou_func=self.mesh_iou_func, parallel=parallel,
         )
         if self.mesh_iou_func is not None:

@@ -29,7 +29,15 @@ def polygon_clip(subject_polygon, clip_polygon):
         dp = [s[0] - e[0], s[1] - e[1]]
         n1 = cp1[0] * cp2[1] - cp1[1] * cp2[0]
         n2 = s[0] * e[1] - s[1] * e[0]
-        n3 = 1.0 / (dc[0] * dp[1] - dc[1] * dp[0])
+        den = dc[0] * dp[1] - dc[1] * dp[0]
+        if den == 0.0:
+            # degenerate: subject edge collinear with the clip edge
+            # (identical/touching boxes). The reference divides by zero
+            # here and NaN-crashes ConvexHull downstream; the collinear
+            # overlap contributes no unique intersection point, so the
+            # edge endpoint is the correct clip result.
+            return [e[0], e[1]]
+        n3 = 1.0 / den
         return [(n1 * dp[0] - n2 * dc[0]) * n3, (n1 * dp[1] - n2 * dc[1]) * n3]
 
     output = list(subject_polygon)
@@ -57,7 +65,13 @@ def polygon_clip(subject_polygon, clip_polygon):
 def convex_hull_intersection(p1, p2):
     inter_p = polygon_clip(p1, p2)
     if inter_p is not None:
-        hull = ConvexHull(inter_p)
+        try:
+            hull = ConvexHull(inter_p)
+        except Exception:
+            # degenerate (collinear / near-zero-area) intersection polygon:
+            # zero overlap. The reference has no guard (its pipeline never
+            # produces exactly-touching boxes); robustness deviation.
+            return None, 0.0
         return inter_p, hull.volume
     return None, 0.0
 
@@ -76,6 +90,11 @@ def box3d_iou(corners1, corners2):
     area1 = poly_area(np.array(rect1)[:, 0], np.array(rect1)[:, 1])
     area2 = poly_area(np.array(rect2)[:, 0], np.array(rect2)[:, 1])
     _, inter_area = convex_hull_intersection(rect1, rect2)
+    # clamp: the true intersection is a subset of both rectangles; for
+    # (near-)identical boxes the S-H clip emits fp-garbage vertices that
+    # inflate the hull (the reference has the same instability — its
+    # pipeline never compares near-identical boxes)
+    inter_area = min(inter_area, area1, area2)
     iou_2d = inter_area / (area1 + area2 - inter_area)
     ymax = min(corners1[0, 1], corners2[0, 1])
     ymin = max(corners1[4, 1], corners2[4, 1])
