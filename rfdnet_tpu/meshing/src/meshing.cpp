@@ -6,9 +6,11 @@
 // interior fill, and point-in-mesh testing. Exposed through a plain C ABI
 // consumed via ctypes (no pybind11 in this toolchain).
 //
-// Iso-surface extraction uses marching tetrahedra (6-tetra cube split):
-// table-free, watertight on shared faces, same vertex-interpolation
-// convention as marching cubes (vertices in grid-index space).
+// Iso-surface extraction: mc_extract is true marching cubes (the default —
+// matches the reference's PyMCubes usage); mt_extract is marching
+// tetrahedra (6-tetra cube split, ~3x more triangles). Both share the
+// vertex-interpolation convention (vertices in grid-index space) and the
+// edge-welded output.
 
 #include <cstdint>
 #include <cstring>
@@ -103,9 +105,148 @@ void do_tetra(MeshAcc &acc, const uint64_t keys[4], const V3 pos[4],
   }
 }
 
+// ---------------------------------------------------------------- MC core
+// True marching cubes (the reference extracts with PyMCubes,
+// `models/iscnet/modules/generator.py:160`). The 256 case tessellations are
+// built programmatically instead of hard-coding the Lorensen tables:
+// for every face, contiguous runs of inside vertices along the (outward-
+// oriented) face cycle produce one directed surface segment from the run's
+// entry crossing to its exit crossing; following the segments stitches the
+// per-cube intersection loops, which are fan-triangulated. Per-face run
+// pairing resolves the ambiguous (diagonal) faces identically for the two
+// cubes sharing the face, so the result is watertight by construction —
+// unlike the classic asymmetric table, which can leave pinholes there.
+//
+// Cube vertex encoding: v = dx*4 + dy*2 + dz over the unit cube.
+
+namespace mc {
+
+// 12 edges as vertex pairs
+static const int EDGE_V[12][2] = {
+    {0, 1}, {0, 2}, {0, 4}, {1, 3}, {1, 5}, {2, 3},
+    {2, 6}, {3, 7}, {4, 5}, {4, 6}, {5, 7}, {6, 7}};
+
+// faces as outward-CCW vertex cycles (normal points out of the cube)
+static const int FACE_C[6][4] = {
+    {0, 1, 3, 2},   // x = 0
+    {4, 6, 7, 5},   // x = 1
+    {0, 4, 5, 1},   // y = 0
+    {2, 3, 7, 6},   // y = 1
+    {0, 2, 6, 4},   // z = 0
+    {1, 5, 7, 3}};  // z = 1
+
+inline int edge_id(int a, int b) {
+  for (int e = 0; e < 12; ++e)
+    if ((EDGE_V[e][0] == a && EDGE_V[e][1] == b) ||
+        (EDGE_V[e][0] == b && EDGE_V[e][1] == a))
+      return e;
+  return -1;
+}
+
+// per-mask loops of edge ids (built once, cached)
+struct CaseTable {
+  std::vector<std::vector<int>> loops[256];
+  bool built = false;
+};
+
+static CaseTable g_table;
+
+static void build_case_table() {
+  if (g_table.built) return;
+  for (int mask = 1; mask < 255; ++mask) {
+    int next_edge[12];
+    bool has_seg[12] = {false};
+    for (int e = 0; e < 12; ++e) next_edge[e] = -1;
+    auto inside = [&](int v) { return (mask >> v) & 1; };
+    for (int f = 0; f < 6; ++f) {
+      const int *c = FACE_C[f];
+      for (int i = 0; i < 4; ++i) {
+        // run start: c[i] inside, c[i-1] outside
+        if (!inside(c[i]) || inside(c[(i + 3) & 3])) continue;
+        int entry = edge_id(c[(i + 3) & 3], c[i]);
+        int j = i;
+        while (inside(c[(j + 1) & 3])) j = (j + 1) & 3;
+        int exit = edge_id(c[j], c[(j + 1) & 3]);
+        next_edge[entry] = exit;  // directed segment entry -> exit
+        has_seg[entry] = true;
+      }
+    }
+    for (int e0 = 0; e0 < 12; ++e0) {
+      if (!has_seg[e0]) continue;
+      std::vector<int> loop;
+      int e = e0;
+      while (has_seg[e]) {
+        loop.push_back(e);
+        has_seg[e] = false;
+        e = next_edge[e];
+      }
+      if (loop.size() >= 3) g_table.loops[mask].push_back(std::move(loop));
+    }
+  }
+  g_table.built = true;
+}
+
+}  // namespace mc
+
 }  // namespace
 
 extern "C" {
+
+// Table-based marching cubes over a dense (nx, ny, nz) float32 grid
+// (C order, z fastest). Vertices in index space; shared-edge vertex dedup
+// through the same cache as mt_extract, so the output is vertex-welded.
+int mc_extract(const float *grid, int nx, int ny, int nz, float iso,
+               double **out_verts, int **out_tris, int *out_nv, int *out_nt) {
+  mc::build_case_table();
+  MeshAcc acc;
+  auto val_at = [&](int x, int y, int z) {
+    return (double)grid[((size_t)x * ny + y) * nz + z];
+  };
+  static const int CO[8][3] = {{0,0,0},{0,0,1},{0,1,0},{0,1,1},
+                               {1,0,0},{1,0,1},{1,1,0},{1,1,1}};
+  for (int x = 0; x < nx - 1; ++x)
+    for (int y = 0; y < ny - 1; ++y)
+      for (int z = 0; z < nz - 1; ++z) {
+        double cv[8];
+        uint64_t ck[8];
+        V3 cp[8];
+        int mask = 0;
+        for (int c = 0; c < 8; ++c) {
+          int cx = x + CO[c][0], cy = y + CO[c][1], cz = z + CO[c][2];
+          cv[c] = val_at(cx, cy, cz);
+          ck[c] = node_key(cx, cy, cz, ny, nz);
+          cp[c] = V3{(double)cx, (double)cy, (double)cz};
+          if (cv[c] > iso) mask |= 1 << c;
+        }
+        if (mask == 0 || mask == 255) continue;
+        for (const auto &loop : mc::g_table.loops[mask]) {
+          int first = -1, prev = -1;
+          for (size_t i = 0; i < loop.size(); ++i) {
+            int e = loop[i];
+            int a = mc::EDGE_V[e][0], b = mc::EDGE_V[e][1];
+            int vid = acc.edge_vertex(ck[a], ck[b], cp[a], cp[b],
+                                      cv[a], cv[b], iso);
+            if (i == 0) {
+              first = vid;
+            } else if (i >= 2) {
+              acc.tris.push_back(first);
+              acc.tris.push_back(prev);
+              acc.tris.push_back(vid);
+            }
+            prev = vid;
+          }
+        }
+      }
+  *out_nv = (int)(acc.verts.size() / 3);
+  *out_nt = (int)(acc.tris.size() / 3);
+  double *v = new double[acc.verts.size()];
+  int *t = new int[acc.tris.size()];
+  std::memcpy(v, acc.verts.data(), acc.verts.size() * sizeof(double));
+  std::memcpy(t, acc.tris.data(), acc.tris.size() * sizeof(int));
+  *out_verts = v;
+  *out_tris = t;
+  return 0;
+}
 
 // Marching tetrahedra over a dense (nx, ny, nz) float32 grid (C order,
 // z fastest). Vertices come back in index space [0, n-1]. Two-call-free

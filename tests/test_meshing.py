@@ -251,3 +251,104 @@ class TestGeneratorExtras:
         r_noisy = np.abs(np.linalg.norm(noisy.vertices, axis=1) - 0.35)
         r_ref = np.abs(np.linalg.norm(refined.vertices, axis=1) - 0.35)
         assert r_ref.mean() < 0.9 * r_noisy.mean()
+
+
+# ------------------------------------------------------- marching cubes
+class TestMarchingCubes:
+    """mc_extract (true MC with constructed case tables) vs analytic
+    fields and the MT extractor — closes the MC/MT deviation
+    (`generator.py:160` extracts with PyMCubes)."""
+
+    @staticmethod
+    def _sphere_field(n=40, r=1.0, extent=1.3):
+        ax = np.linspace(-extent, extent, n)
+        X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+        return (r - np.sqrt(X**2 + Y**2 + Z**2)).astype(np.float32), ax
+
+    @staticmethod
+    def _edge_counts(tris):
+        from collections import Counter
+
+        c = Counter()
+        for a, b, d in tris:
+            for e in ((a, b), (b, d), (d, a)):
+                c[tuple(sorted(e))] += 1
+        return c
+
+    def test_watertight_and_oriented(self):
+        from rfdnet_tpu.meshing.native import marching_cubes
+
+        field, ax = self._sphere_field()
+        v, t = marching_cubes(field, 0.0)
+        assert len(v) > 100 and len(t) > 100
+        # watertight: every edge borders exactly 2 triangles
+        ec = self._edge_counts(t)
+        assert all(cnt == 2 for cnt in ec.values())
+        # Euler characteristic of a sphere: V - E + F = 2
+        assert len(v) - len(ec) + len(t) == 2
+        # outward orientation + volume accuracy: signed volume ~ 4/3 pi r^3
+        vol = 0.0
+        for a, b, c in t:
+            vol += np.dot(v[a], np.cross(v[b], v[c])) / 6.0
+        scale = (len(ax) - 1) / (ax[-1] - ax[0])
+        expected = 4.0 / 3.0 * np.pi * scale**3
+        assert vol == pytest.approx(expected, rel=5e-3)
+        # vertices on the sphere
+        center = (len(ax) - 1) / 2.0
+        rr = np.linalg.norm(v - center, axis=1) / scale
+        assert np.abs(rr - 1.0).max() < 2e-3
+
+    def test_ambiguous_faces_no_holes(self):
+        """Checkerboard-ish random fields hammer the ambiguous (diagonal)
+        face cases where the classic Lorensen table leaks pinholes. No
+        boundary (odd-count) edges allowed; count-4 edges are legitimate
+        non-manifold CONTACTS (two closed sheets touching along a lattice
+        edge — classic MC produces these too), not holes."""
+        from rfdnet_tpu.meshing.native import marching_cubes
+
+        rng = np.random.RandomState(0)
+        for _ in range(5):
+            field = rng.randn(9, 9, 9).astype(np.float32)
+            field = np.pad(field, 1, constant_values=-10.0)
+            v, t = marching_cubes(field, 0.0)
+            ec = self._edge_counts(t)
+            assert all(cnt % 2 == 0 for cnt in ec.values())
+            assert sum(cnt != 2 for cnt in ec.values()) < 0.01 * len(ec)
+
+    def test_mc_vs_mt_voxel_iou(self):
+        """MC and MT of the same field agree to voxel IoU >= 0.99 at the
+        golden 33^3 occupancy-grid scale (VERDICT item 5's bar)."""
+        from rfdnet_tpu.eval.mesh_iou import mesh_iou, voxelize_mesh_pair
+        from rfdnet_tpu.meshing.native import marching_cubes, marching_tetrahedra
+
+        # smooth blobby field at the generator's padded-grid scale
+        n = 35
+        ax = np.linspace(-1, 1, n)
+        X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+        field = (
+            0.55
+            - np.sqrt((X + 0.15) ** 2 + Y**2 + Z**2)
+            + 0.35 * np.exp(-((X - 0.4) ** 2 + Y**2 + (Z - 0.2) ** 2) / 0.05)
+        ).astype(np.float32)
+        field = np.pad(field, 1, constant_values=-1e6)
+        vc, tc = marching_cubes(field, 0.0)
+        vt, tt = marching_tetrahedra(field, 0.0)
+        assert len(tc) < 0.6 * len(tt)  # MC's triangle economy
+        vs = (vc.max() - vc.min()) / 24.0
+        iou = mesh_iou(
+            voxelize_mesh_pair(vc, tc, vs), voxelize_mesh_pair(vt, tt, vs)
+        )
+        assert iou >= 0.99
+
+    def test_generator_uses_mc_by_default(self):
+        from rfdnet_tpu.meshing.generator import Generator3D
+        from rfdnet_tpu.meshing.native import marching_cubes
+
+        g = Generator3D(decode_fn=None)
+        assert g.extract_fn is marching_cubes
+        # canonical-box rescale contract unchanged
+        grid = np.full((16, 16, 16), -5.0, np.float32)
+        grid[4:12, 4:12, 4:12] = 5.0
+        mesh = g.extract_mesh(grid)
+        assert len(mesh.vertices) > 0
+        assert np.all(np.abs(mesh.vertices) <= 0.55 + 1e-9)
