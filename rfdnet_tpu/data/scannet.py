@@ -287,21 +287,42 @@ def collate(items: list[dict]) -> dict:
     return out
 
 
+def _proc_worker_init(ds_bytes: bytes) -> None:
+    """Process-pool initializer: unpickle the dataset ONCE per worker
+    (submitting bound methods would re-pickle the whole dataset for
+    every item)."""
+    global _PROC_DATASET
+    import pickle
+
+    _PROC_DATASET = pickle.loads(ds_bytes)
+
+
+def _proc_getitem(i: int):
+    return _PROC_DATASET[i]
+
+
 class DataLoader:
     """Prefetching batch loader: a worker pool assembles items, a
     background thread groups them into collated batches (depth-2 queue) so
     host assembly overlaps device compute.
 
+    The reference feeds its GPUs with 8 torch DataLoader worker
+    PROCESSES (`models/iscnet/dataloader.py:267`); the equivalent here is
+    `worker_type="process"`, where each worker unpickles the dataset once
+    and receives only item indices. `worker_type="auto"` (default) picks
+    processes on multi-core hosts and a plain thread on 1-core hosts.
+
     Worker sizing: pools are clamped to the host core count — on a 1-core
     host any pool only adds contention (measured: 1 thread 15.6 items/s,
     8 threads 6.2). One item costs ~45 ms (150k-pt scene -> 80k), so an
-    8-core v5e host sustains >100 scenes/sec with `worker_type="process"`
-    (threads cap lower under the GIL)."""
+    8-core v5e host sustains >100 scenes/sec with process workers
+    (threads cap lower under the GIL; `tools/bench_loader.py` records
+    the numbers)."""
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  drop_last: bool = False, num_workers: int = 8,
                  seed: int = 0, prefetch: int = 2,
-                 worker_type: str = "thread"):
+                 worker_type: str = "auto"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -309,6 +330,12 @@ class DataLoader:
         self.num_workers = max(1, min(num_workers, os.cpu_count() or 1))
         self.seed = seed
         self.prefetch = prefetch
+        if worker_type == "auto":
+            worker_type = (
+                "process"
+                if self.num_workers > 1 and (os.cpu_count() or 1) > 1
+                else "thread"
+            )
         self.worker_type = worker_type
         self._epoch = 0
 
@@ -339,16 +366,30 @@ class DataLoader:
         stop = threading.Event()
 
         if self.worker_type == "process" and self.num_workers > 1:
-            from concurrent.futures import ProcessPoolExecutor as Pool
+            import pickle
+            from concurrent.futures import ProcessPoolExecutor
+
+            ds_bytes = pickle.dumps(self.dataset)
+
+            def make_pool():
+                return ProcessPoolExecutor(
+                    self.num_workers, initializer=_proc_worker_init,
+                    initargs=(ds_bytes,),
+                )
+
+            getitem = _proc_getitem
         else:
-            Pool = ThreadPoolExecutor
+            def make_pool():
+                return ThreadPoolExecutor(self.num_workers)
+
+            getitem = self.dataset.__getitem__
 
         def produce():
             try:
-                with Pool(self.num_workers) as pool:
+                with make_pool() as pool:
                     # pipeline item futures across batch boundaries
                     futures = [
-                        pool.submit(self.dataset.__getitem__, i)
+                        pool.submit(getitem, i)
                         for b in batches[: 2] for i in b
                     ]
                     pending = list(futures)
@@ -359,7 +400,7 @@ class DataLoader:
                         items = [pending.pop(0).result() for _ in b]
                         if next_batch < len(batches):
                             pending.extend(
-                                pool.submit(self.dataset.__getitem__, i)
+                                pool.submit(getitem, i)
                                 for i in batches[next_batch]
                             )
                             next_batch += 1

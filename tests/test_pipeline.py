@@ -116,6 +116,129 @@ def test_refit_recovers_translation():
     assert np.linalg.norm(np.asarray(cen)) < np.linalg.norm(start)
 
 
+def test_refit_recovers_heading():
+    """Scene = the object's own points rotated by a known heading: the
+    refit must recover that heading (`network.py:268-286` optimizes
+    centroid + orientation jointly)."""
+    from rfdnet_tpu.eval.refit import _optimize
+
+    rng = np.random.RandomState(1)
+    # elongated slab so heading is observable (and not pi/2-symmetric)
+    obj = rng.uniform(-0.5, 0.5, size=(1, 300, 3)).astype(np.float32)
+    obj[..., 0] *= 2.0  # x extent 2, y extent 1
+    theta = 0.35
+    c, s = np.cos(theta), np.sin(theta)
+    R = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], np.float32)
+    scene = (obj[0] @ R)[None]  # same row-vector convention as _optimize
+
+    cen, ori = _optimize(
+        jnp.asarray(obj), jnp.asarray(scene),
+        jnp.ones((1, 300), jnp.float32),
+        jnp.zeros((1, 3), jnp.float32), jnp.zeros((1,), jnp.float32),
+        iterations=100,
+    )
+    err = (float(ori[0]) - theta + np.pi) % (2 * np.pi) - np.pi
+    assert abs(err) < 0.05
+    assert np.linalg.norm(np.asarray(cen)) < 0.05
+
+
+def test_refit_keeps_best_loss_params():
+    """`network.py:268-286` keeps the best-loss iterate, not the last.
+    One point at x=0.004 from the init: Adam(lr=1e-2)'s first step
+    overshoots to x~0.01 (worse loss), so the returned centroid must be
+    the INIT, not the post-step parameters."""
+    from rfdnet_tpu.eval.refit import _optimize
+
+    obj = np.zeros((1, 1, 3), np.float32)
+    scene = np.array([[[0.004, 0.0, 0.0]]], np.float32)
+    cen, _ = _optimize(
+        jnp.asarray(obj), jnp.asarray(scene),
+        jnp.ones((1, 1), jnp.float32),
+        jnp.zeros((1, 3), jnp.float32), jnp.zeros((1,), jnp.float32),
+        iterations=2,
+    )
+    np.testing.assert_allclose(np.asarray(cen), 0.0, atol=1e-7)
+
+
+def test_refit_floor_filter_and_min_points():
+    """The 5th-height-percentile floor cut (`network.py:254-257`) and the
+    <5-points-in-box skip: a proposal whose box contains only floor-level
+    points is left untouched; lifting those same points above the
+    percentile makes the refit run and move the box."""
+    from rfdnet_tpu.eval.refit import fit_meshes_to_scan
+    from rfdnet_tpu.eval.box_util import flip_axis_to_camera, get_3d_box
+    from rfdnet_tpu.meshing.mesh import TriMesh
+
+    rng = np.random.RandomState(2)
+    K = 4
+
+    def make_parsed():
+        corners = np.zeros((1, K, 8, 3), np.float32)
+        for j in range(K):
+            corners[0, j] = get_3d_box(
+                np.array([1.0, 1.0, 1.0]), 0.0,
+                flip_axis_to_camera(np.array([0.0, 0.0, 1.0])),
+            )
+        return {
+            "pred_corners_3d_upright_camera": corners.copy(),
+            "pred_mask": np.ones((1, K), bool),
+            "obj_prob": np.full((1, K), 0.9, np.float32),
+        }
+
+    cube = TriMesh(
+        rng.uniform(-0.5, 0.5, (64, 3)), np.zeros((0, 3), np.int64)
+    )
+    proposal_ids = np.zeros((1, 1, 3), np.int64)  # proposal j=0
+    valid = np.ones((1, 1), bool)
+
+    def make_scene(floor_z):
+        # Box (1.2x-enlarged) spans z in [0.4, 1.6]. 300 "floor" points
+        # at floor_z inside the box footprint (3% of the scene), 3 other
+        # in-box points, and 9697 far points (outside the footprint) with
+        # z uniform in [0.6, 3.0] — so the scene's 5th height percentile
+        # lands at z ~ 0.65, above a floor at 0.5 but below one at 1.2.
+        floor = np.concatenate([
+            rng.uniform(-0.5, 0.5, (300, 2)),
+            rng.uniform(floor_z - 0.02, floor_z + 0.02, (300, 1)),
+        ], axis=1)
+        inbox = np.array([[0.1, 0.1, 1.2], [-0.1, 0.0, 1.1],
+                          [0.0, -0.1, 0.9]])
+        far = np.concatenate([
+            rng.uniform(5.0, 9.0, (9697, 2)),
+            rng.uniform(0.6, 3.0, (9697, 1)),
+        ], axis=1)
+        pts = np.concatenate([floor, inbox, far]).astype(np.float32)
+        return np.concatenate(
+            [pts, np.zeros((len(pts), 1), np.float32)], axis=1
+        )[None]
+
+    # floor at z=0.5 (inside the box, below the 5th percentile) ->
+    # filtered out -> <5 points left in box -> proposal skipped
+    parsed = make_parsed()
+    before = parsed["pred_corners_3d_upright_camera"].copy()
+    out = fit_meshes_to_scan(
+        parsed, [cube], proposal_ids, valid, make_scene(0.5), 0.5,
+        iterations=10,
+    )
+    np.testing.assert_array_equal(
+        out["pred_corners_3d_upright_camera"], before
+    )
+
+    # same points lifted above the percentile -> refit runs, box moves
+    parsed2 = make_parsed()
+    out2 = fit_meshes_to_scan(
+        parsed2, [cube], proposal_ids, valid, make_scene(1.2), 0.5,
+        iterations=10,
+    )
+    assert not np.allclose(
+        out2["pred_corners_3d_upright_camera"][0, 0], before[0, 0]
+    )
+    # untouched proposals stay put
+    np.testing.assert_array_equal(
+        out2["pred_corners_3d_upright_camera"][0, 1:], before[0, 1:]
+    )
+
+
 def test_demo_driver(tmp_path, cfg, model_and_vars):
     """Demo on a synthetic .off scene with random weights: runs the full
     path and dumps the reference's output artifact set."""

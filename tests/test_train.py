@@ -108,6 +108,121 @@ def test_sharded_step_runs_on_mesh(setup):
     assert np.isfinite(float(losses["total"]))
 
 
+class _ToyNet:
+    """Minimal discrete-op-free model exposing the ISCNet trainer
+    interface (`__call__(batch, train, bn_momentum, rng)` + `loss`) so
+    the SAME make_train_step / mesh / sync-BN machinery can be verified
+    exactly (no FPS/ball-query/argmin selections to amplify 1-ULP
+    codegen differences between sharded and unsharded layouts)."""
+
+    def __new__(cls):
+        import flax.linen as nn
+
+        from rfdnet_tpu.models.common import BatchNorm
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, batch, train, bn_momentum=None, rng=None):
+                # bias-free Dense before BN, like the model's SharedMLP
+                # pairs — a pre-BN bias has an exactly-zero gradient whose
+                # f32 rounding noise is layout-dependent
+                h = nn.Dense(32, use_bias=False)(batch["x"])
+                h = BatchNorm(name="bn")(h, train, bn_momentum)
+                return nn.Dense(1)(nn.relu(h))
+
+            def loss(self, out, batch, dataset_config, completion_weight):
+                return {"total": jnp.mean((out - batch["y"]) ** 2)}
+
+        return Net()
+
+
+def test_dp_plumbing_exact_on_smooth_model():
+    """DP correctness of the training machinery itself: for a model with
+    no data-dependent discrete selections, the 8-way batch-sharded
+    make_train_step produces the SAME loss, gradients (observed exactly
+    as parameter deltas through an identity-transform optimizer with
+    lr=1), and sync-BN batch statistics as the unsharded step — the
+    gradient all-reduce and global-batch BN reduction inserted by the
+    partitioner are semantics-preserving, not just finite."""
+    import optax
+
+    model = _ToyNet()
+    rng = np.random.RandomState(0)
+    batch = {
+        "x": jnp.asarray(rng.randn(64, 16).astype(np.float32)),
+        "y": jnp.asarray(rng.randn(64, 1).astype(np.float32)),
+    }
+    tx = optax.identity()  # param delta == raw gradient
+    state = init_state(model, tx, batch)
+    step = make_train_step(model, None, tx, donate=False)
+    args = (jax.random.PRNGKey(1), jnp.float32(1.0), jnp.float32(0.5))
+
+    s_single, l_single = step(state, batch, *args)
+    mesh = make_mesh(jax.devices()[:8])
+    s_shard, l_shard = step(
+        jax.device_put(state, replicated(mesh)),
+        shard_batch(batch, mesh),
+        *args,
+    )
+    assert float(l_shard["total"]) == pytest.approx(
+        float(l_single["total"]), rel=1e-6
+    )
+    for tree_s, tree_r, tol in [
+        (s_shard.params, s_single.params, 1e-6),
+        (s_shard.batch_stats, s_single.batch_stats, 1e-6),
+    ]:
+        for a, b in zip(jax.tree_util.tree_leaves(tree_r),
+                        jax.tree_util.tree_leaves(tree_s)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=tol, rtol=1e-5
+            )
+
+
+def test_dp_step_matches_single_device():
+    """DP agreement on the REAL model at training-observable level: the
+    8-way sharded train step reproduces the unsharded step's loss and
+    sync-BN batch statistics.
+
+    Why not bitwise parameters: under GSPMD per-device operand shapes
+    differ ((1, N, ...) blocks vs the (8, N, ...) whole), so backend
+    codegen rounds the big MLP contractions ~1 ULP apart; the model's
+    discrete selections (vote-FPS argmax, ball-query radius test,
+    proposal<->GT argmin) can amplify one flipped ULP into a different
+    — equally valid — selection for a scene, perturbing that scene's
+    gradient macroscopically. The torch reference has the same property
+    across DataParallel replica counts. The semantics-level checks live
+    in test_dp_plumbing_exact_on_smooth_model; here we pin the
+    training-level agreement: loss to 0.1% and the (smooth, selection-
+    free in expectation) BN statistics."""
+    dc = ScannetConfig()
+    model = ISCNet(mean_size_arr=dc.mean_size_arr, phase="detection")
+    batch = synthetic_scene_batch(
+        np.random.RandomState(3), batch_size=8, num_points=1024,
+        mean_size_arr=dc.mean_size_arr,
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    tx = make_optimizer()
+    state = init_state(model, tx, batch)
+    step = make_train_step(model, dc, tx, donate=False)
+    args = (jax.random.PRNGKey(7), jnp.float32(1e-3), jnp.float32(0.5))
+
+    s_single, l_single = step(state, batch, *args)
+    mesh = make_mesh(jax.devices()[:8])
+    s_shard, l_shard = step(
+        jax.device_put(state, replicated(mesh)),
+        shard_batch(batch, mesh),
+        *args,
+    )
+    assert float(l_shard["total"]) == pytest.approx(
+        float(l_single["total"]), rel=1e-3
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.batch_stats),
+                    jax.tree_util.tree_leaves(s_shard.batch_stats)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-2
+        )
+
+
 def test_plateau_scheduler():
     s = PlateauScheduler(lr=1.0, patience=2, factor=0.1, threshold=0.01)
     assert s.step(10.0) == 1.0  # first metric becomes best
