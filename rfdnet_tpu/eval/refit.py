@@ -58,10 +58,16 @@ def _points_in_obb(points: np.ndarray, centroid, sizes, orientation):
 
 @partial(jax.jit, static_argnames=("iterations",))
 def _optimize(obj_points, pc_in_box, pc_mask, centroids, orientations,
-              iterations: int = 100):
+              loss_denom, iterations: int = 100):
     """Jitted joint refit: obj_points (K, No, 3) pre-scaled mesh points,
     pc_in_box (K, Np, 3), pc_mask (K, Np), centroids (K, 3),
-    orientations (K,). Returns best (centroids, orientations)."""
+    orientations (K,). Returns best (centroids, orientations).
+
+    K/No/Np are pow2-bucketed by the caller (padded rows have all-zero
+    pc_mask); `loss_denom` (traced scalar) keeps the loss on the
+    reference's normalization — torch.mean over the FULL
+    (K_actual, 50000) matrix (`network.py:303`) — so the Adam trajectory
+    is invariant to the bucketing."""
     tx = optax.adam(1e-2)
     params = {"centroid": centroids, "orientation": orientations}
 
@@ -80,7 +86,7 @@ def _optimize(obj_points, pc_in_box, pc_mask, centroids, orientations,
             "centroid"
         ][:, None, :]
         _, dist2 = chamfer_distance(placed, pc_in_box)
-        return jnp.mean(dist2 * pc_mask) * 1e3
+        return jnp.sum(dist2 * pc_mask) / loss_denom * 1e3
 
     opt_state = tx.init(params)
 
@@ -112,7 +118,9 @@ def fit_meshes_to_scan(parsed_predictions: dict, meshes: list,
     """Refit boxes for batch 0..B-1. meshes: flat list of TriMesh aligned
     with proposal_ids.reshape(-1, 3) rows. Mutates + returns
     parsed_predictions['pred_corners_3d_upright_camera'] (numpy)."""
-    corners_all = np.asarray(parsed_predictions["pred_corners_3d_upright_camera"])
+    # np.array (copy): the input may be a CPU-jax zero-copy READ-ONLY
+    # view, and this function writes refit corners back into it
+    corners_all = np.array(parsed_predictions["pred_corners_3d_upright_camera"])
     pred_mask = np.asarray(parsed_predictions["pred_mask"])
     obj_prob = np.asarray(parsed_predictions["obj_prob"])
     proposal_ids = np.asarray(proposal_ids)
@@ -152,29 +160,52 @@ def fit_meshes_to_scan(parsed_predictions: dict, meshes: list,
             if len(pc_in_box) > max_pc_in_box:
                 pc_in_box = pc_in_box[:max_pc_in_box]
 
-            obj = np.zeros((max_obj_points, 3), np.float32)
-            obj[: len(pts)] = pts * box_params[3:6]  # pre-scale to box size
-            pc = np.zeros((max_pc_in_box, 3), np.float32)
-            pc[: len(pc_in_box)] = pc_in_box
-            pcm = np.zeros((max_pc_in_box,), np.float32)
-            pcm[: len(pc_in_box)] = 1.0
-
             index_list.append((i, j))
-            obj_list.append(obj)
-            pc_list.append(pc)
-            pc_mask_list.append(pcm)
+            obj_list.append(
+                (pts * box_params[3:6]).astype(np.float32)  # pre-scale
+            )
+            pc_list.append(pc_in_box.astype(np.float32))
             box_params_list.append(box_params)
 
     if not index_list:
         return parsed_predictions
 
+    # pow2-bucket the padded shapes to the scene's actual maxima instead
+    # of always (K, 10000) x (K, 50000): typical 32^3-grid meshes have
+    # ~2k vertices and boxes hold ~4k scene points, so the chamfer matrix
+    # shrinks ~30x. Exactness: every real row keeps >=1 zero pad point
+    # (+1 below), duplicating the reference's padded-zero min candidates
+    # (`network.py:193-198` pads with zeros the same way), and the loss
+    # normalization is pinned to the reference's via loss_denom.
+    def _pow2(n, lo, hi):
+        b = lo
+        while b < n and b < hi:
+            b *= 2
+        return min(b, hi)
+
+    K = len(index_list)
+    Kb = _pow2(K, 4, 1 << 30)
+    No = _pow2(max(len(o) for o in obj_list) + 1, 512, max_obj_points)
+    Np = _pow2(max(len(p) for p in pc_list) + 1, 1024, max_pc_in_box)
+
+    obj = np.zeros((Kb, No, 3), np.float32)
+    pc = np.zeros((Kb, Np, 3), np.float32)
+    pcm = np.zeros((Kb, Np), np.float32)
+    for k in range(K):
+        obj[k, : len(obj_list[k])] = obj_list[k]
+        pc[k, : len(pc_list[k])] = pc_list[k]
+        pcm[k, : len(pc_list[k])] = 1.0
+
     box_params_arr = np.stack(box_params_list)
+    init = np.zeros((Kb, 7), np.float32)
+    init[:K] = box_params_arr
     centroids, orientations = _optimize(
-        jnp.asarray(np.stack(obj_list)),
-        jnp.asarray(np.stack(pc_list)),
-        jnp.asarray(np.stack(pc_mask_list)),
-        jnp.asarray(box_params_arr[:, :3], dtype=jnp.float32),
-        jnp.asarray(box_params_arr[:, 6], dtype=jnp.float32),
+        jnp.asarray(obj),
+        jnp.asarray(pc),
+        jnp.asarray(pcm),
+        jnp.asarray(init[:, :3]),
+        jnp.asarray(init[:, 6]),
+        jnp.float32(K * max_pc_in_box),
         iterations=iterations,
     )
     centroids = np.asarray(centroids)

@@ -69,6 +69,16 @@ class Tester:
             "phase", ""
         ) == "completion" and self.generate_mesh
 
+        z_rng = (jax.random.PRNGKey(42)
+                 if gen_cfg.get("use_sampling") else None)
+        # dense-grid mode: decode every proposal's occupancy grid inside
+        # the SAME jitted program as detection+completion (one device
+        # dispatch per scene; only marching cubes stays on the host)
+        self._fused_grid_res = (
+            gen_cfg["resolution_0"]
+            if self.generate_mesh and gen_cfg["upsampling_steps"] == 0
+            else None
+        )
         self._gen_fn = jax.jit(
             partial(
                 self._apply_generate,
@@ -76,10 +86,13 @@ class Tester:
                 use_cls_nms=ec["cls_nms"],
                 dump_threshold=self.dump_threshold,
                 remove_empty_box=ec.get("remove_empty_box", False),
+                decode_grid_res=self._fused_grid_res,
+                grid_rng=z_rng,
+                # transfer-only quantization of the logit grids (the
+                # largest device->host output); decoder math stays f32
+                grid_dtype="float16" if self._fused_grid_res else None,
             )
         )
-        z_rng = (jax.random.PRNGKey(42)
-                 if gen_cfg.get("use_sampling") else None)
         decode = jax.jit(
             lambda f, c, p: model.apply(
                 variables, f, c, p, method=ISCNet.decode_occupancy,
@@ -143,10 +156,16 @@ class Tester:
         # host mesh extraction for all valid proposals in one batched pass
         meshes = None
         if gen and self.generate_mesh and "features" in gen:
-            meshes = self.generator.generate_meshes(
-                gen["features"], gen["cls_codes"],
-                valid=gen["valid"].reshape(-1),
-            )
+            if "grids" in out:  # fused single-dispatch dense-grid path
+                meshes = self.generator.meshes_from_grids(
+                    out["grids"], valid=gen["valid"].reshape(-1),
+                    features=gen["features"], cls_codes=gen["cls_codes"],
+                )
+            else:
+                meshes = self.generator.generate_meshes(
+                    gen["features"], gen["cls_codes"],
+                    valid=gen["valid"].reshape(-1),
+                )
 
         if gen and meshes is not None and self.fit_to_scan:
             parsed = fit_meshes_to_scan(

@@ -18,6 +18,8 @@ proposal on the host (C++ marching cubes; marching tetrahedra optional).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..models.occnet import make_3d_grid
@@ -75,12 +77,27 @@ class Generator3D:
             grids = logits.reshape(Nb, nx, nx, nx)
         else:
             grids = self._mise_grids(features, cls_codes)
+        return self.meshes_from_grids(
+            grids, valid=valid, features=features, cls_codes=cls_codes
+        )
 
-        meshes = []
-        for i in range(Nb):
+    def meshes_from_grids(self, grids, valid=None, features=None,
+                          cls_codes=None):
+        """Host-side half of generate_meshes: surface extraction (plus
+        optional simplify/refine) from precomputed occupancy-logit grids
+        (Nb, nx, nx, nx) — e.g. the `out["grids"]` of the fused
+        `ISCNet.generate(decode_grid_res=...)` single-dispatch path.
+        features/cls_codes are only needed when refinement_step > 0.
+
+        Extraction (+simplify) fans out over a thread pool — the ctypes
+        calls into the C++ extractor release the GIL, so per-proposal
+        marching cubes parallelizes across host cores (the reference
+        loops proposals serially, `generator.py:54-76`)."""
+        grids = np.asarray(grids)
+
+        def one(i):
             if valid is not None and not bool(valid[i]):
-                meshes.append(TriMesh(np.zeros((0, 3)), np.zeros((0, 3))))
-                continue
+                return TriMesh(np.zeros((0, 3)), np.zeros((0, 3)))
             mesh = self.extract_mesh(grids[i])
             if self.simplify_nfaces and len(mesh.faces) > self.simplify_nfaces:
                 from .native import simplify_mesh
@@ -89,11 +106,25 @@ class Generator3D:
                     mesh.vertices, mesh.faces, self.simplify_nfaces, 5.0
                 )  # aggressiveness per `generator.py:191`
                 mesh = TriMesh(sv, st)
-            if self.refinement_step:
-                mesh = self.refine_mesh(
-                    mesh, features[i], cls_codes[i], self.refinement_step
+            return mesh
+
+        n = grids.shape[0]
+        workers = min(8, os.cpu_count() or 1, max(n, 1))
+        if workers > 1 and n > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(workers) as pool:
+                meshes = list(pool.map(one, range(n)))
+        else:
+            meshes = [one(i) for i in range(n)]
+        if self.refinement_step:
+            meshes = [
+                m if (valid is not None and not bool(valid[i]))
+                else self.refine_mesh(
+                    m, features[i], cls_codes[i], self.refinement_step
                 )
-            meshes.append(mesh)
+                for i, m in enumerate(meshes)
+            ]
         return meshes
 
     def _mise_grids(self, features, cls_codes):
@@ -199,8 +230,12 @@ class Generator3D:
         n_x, n_y, n_z = value_grid.shape
         box_size = 1 + self.padding
         threshold = np.log(self.threshold) - np.log(1.0 - self.threshold)
-        padded = np.pad(value_grid, 1, mode="constant", constant_values=-1e6)
-        verts, tris = self.extract_fn(padded.astype(np.float32), threshold)
+        # cast BEFORE padding: grids may arrive float16 (transfer-only
+        # quantization, ISCNet.generate grid_dtype) and the reference's
+        # -1e6 boundary pad (`generator.py:157`) overflows f16 to -inf
+        padded = np.pad(value_grid.astype(np.float32), 1, mode="constant",
+                        constant_values=-1e6)
+        verts, tris = self.extract_fn(padded, threshold)
         if len(verts) == 0:
             return TriMesh(np.zeros((0, 3)), np.zeros((0, 3)))
         # NOTE: the reference subtracts an extra 0.5 ("strange behaviour in

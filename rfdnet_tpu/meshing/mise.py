@@ -118,11 +118,12 @@ class MISE:
         return out
 
 
-def _bucket(n: int, minimum: int = 512) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
+#: frontier evaluation shapes — exactly TWO jit-compiled decoder shapes
+#: serve every round of every scene (frontier sizes are data-dependent;
+#: compiling a fresh XLA program per power-of-two bucket costs tens of
+#: seconds each and dominated the MISE wall-clock)
+_SMALL_T = 8192
+_CHUNK_T = 32768
 
 
 def mise_value_grids(decode_fn, features, cls_codes, resolution_0: int,
@@ -133,6 +134,11 @@ def mise_value_grids(decode_fn, features, cls_codes, resolution_0: int,
     decode_fn: (features (Nb, c), cls_codes (Nb, nc), points (Nb, T, 3))
     -> logits (Nb, T). Returns (Nb, R+1, R+1, R+1) numpy value grids of
     LOGITS (caller thresholds at logit(threshold), `generator.py:84`).
+
+    Each refinement round pads every proposal's frontier to a common
+    length and evaluates it in fixed-size chunks (`_SMALL_T` for small
+    rounds, `_CHUNK_T` strips otherwise), so the decoder compiles at most
+    twice regardless of how the data-dependent octrees evolve.
     """
     import numpy as _np
 
@@ -149,9 +155,10 @@ def mise_value_grids(decode_fn, features, cls_codes, resolution_0: int,
     while True:
         queries = [t.query() for t in trees]
         counts = [len(q) for q in queries]
-        if max(counts) == 0:
+        maxc = max(counts)
+        if maxc == 0:
             break
-        T = _bucket(max(counts))
+        T = _SMALL_T if maxc <= _SMALL_T else -(-maxc // _CHUNK_T) * _CHUNK_T
         pts = _np.zeros((Nb, T, 3), dtype=_np.float32)
         for i, q in enumerate(queries):
             if len(q):
@@ -159,7 +166,18 @@ def mise_value_grids(decode_fn, features, cls_codes, resolution_0: int,
                 pts[i, : len(q)] = box_size * (
                     q.astype(_np.float32) / R - 0.5
                 )
-        logits = _np.asarray(decode_fn(features, cls_codes, pts))
+        if T == _SMALL_T:
+            logits = _np.asarray(decode_fn(features, cls_codes, pts))
+        else:
+            logits = _np.concatenate(
+                [
+                    _np.asarray(decode_fn(
+                        features, cls_codes, pts[:, k : k + _CHUNK_T]
+                    ))
+                    for k in range(0, T, _CHUNK_T)
+                ],
+                axis=1,
+            )
         for i, q in enumerate(queries):
             if len(q):
                 trees[i].update(q, logits[i, : len(q)])

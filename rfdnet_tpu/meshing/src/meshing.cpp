@@ -146,13 +146,13 @@ inline int edge_id(int a, int b) {
 // per-mask loops of edge ids (built once, cached)
 struct CaseTable {
   std::vector<std::vector<int>> loops[256];
-  bool built = false;
 };
 
-static CaseTable g_table;
-
-static void build_case_table() {
-  if (g_table.built) return;
+// thread-safe lazy init (C++11 magic static): mc_extract may be called
+// from several host threads at once (per-proposal extraction fan-out)
+static const CaseTable &case_table() {
+  static const CaseTable g_table = [] {
+  CaseTable g_table;
   for (int mask = 1; mask < 255; ++mask) {
     int next_edge[12];
     bool has_seg[12] = {false};
@@ -183,7 +183,9 @@ static void build_case_table() {
       if (loop.size() >= 3) g_table.loops[mask].push_back(std::move(loop));
     }
   }
-  g_table.built = true;
+  return g_table;
+  }();
+  return g_table;
 }
 
 }  // namespace mc
@@ -197,7 +199,7 @@ extern "C" {
 // through the same cache as mt_extract, so the output is vertex-welded.
 int mc_extract(const float *grid, int nx, int ny, int nz, float iso,
                double **out_verts, int **out_tris, int *out_nv, int *out_nt) {
-  mc::build_case_table();
+  const auto &mc_table = mc::case_table();
   MeshAcc acc;
   auto val_at = [&](int x, int y, int z) {
     return (double)grid[((size_t)x * ny + y) * nz + z];
@@ -219,7 +221,7 @@ int mc_extract(const float *grid, int nx, int ny, int nz, float iso,
           if (cv[c] > iso) mask |= 1 << c;
         }
         if (mask == 0 || mask == 255) continue;
-        for (const auto &loop : mc::g_table.loops[mask]) {
+        for (const auto &loop : mc_table.loops[mask]) {
           int first = -1, prev = -1;
           for (size_t i = 0; i < loop.size(); ++i) {
             int e = loop[i];

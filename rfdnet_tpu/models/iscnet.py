@@ -475,11 +475,27 @@ class ISCNet(nn.Module):
 
     def generate(self, data, nms_iou=0.25, use_cls_nms=True,
                  dump_threshold=0.5, export_voxels=True,
-                 remove_empty_box=False):
+                 remove_empty_box=False, decode_grid_res=None,
+                 grid_padding=0.1, grid_rng=None, grid_dtype=None):
         """Full test-time forward (`network.py:56-180` minus host-side mesh
         extraction): detection + on-device NMS, completion conditioning,
         eval completion loss on the GT-assigned occupancy pairs, and the
         16^3 shape voxels used for per-class voxel-IoU stats.
+
+        decode_grid_res: when set (completion phase, dense-grid
+        upsampling_steps=0 mode), the `resolution_0`^3 occupancy grid of
+        every selected proposal is ALSO decoded inside this same traced
+        program (`out["grids"]`, shape (B*G, nx, nx, nx)) — the whole
+        test-protocol device work then runs in ONE dispatch, leaving only
+        marching cubes on the host. The reference issues one decoder call
+        per proposal per 100k-point chunk (`generator.py:68-74,123-143`).
+
+        grid_dtype: optional narrow dtype (e.g. "float16") for the
+        exported grids. Transfer-only quantization: decoder math stays
+        f32; only the device->host logit grid shrinks (64 proposals x
+        32^3 f32 is 8.4 MB/scene, the largest output). f16 moves
+        marching-cubes vertex interpolation by O(1e-3) of a voxel (see
+        tests/test_meshing.py f16-vs-f32 mesh bound).
 
         Returns dict with parsed, gen (incl. test-time mask_loss when
         instance labels are present, `network.py:124-128`),
@@ -513,6 +529,22 @@ class ISCNet(nn.Module):
             )
             out["completion_loss"] = completion_loss
             out["shape_voxels"] = voxels
+        if decode_grid_res:
+            from .occnet import make_3d_grid
+
+            nx = int(decode_grid_res)
+            box_size = 1.0 + grid_padding
+            pts = box_size * make_3d_grid(
+                (-0.5,) * 3, (0.5,) * 3, (nx,) * 3
+            )
+            Nb = gen["features"].shape[0]
+            pts_b = jnp.broadcast_to(pts[None], (Nb, pts.shape[0], 3))
+            logits = self.decode_occupancy(
+                gen["features"], gen["cls_codes"], pts_b, rng=grid_rng
+            )
+            if grid_dtype is not None:
+                logits = logits.astype(grid_dtype)
+            out["grids"] = logits.reshape(Nb, nx, nx, nx)
         return out
 
     def decode_occupancy(self, features, cls_codes, points, rng=None):

@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 POINT_AXIS = "points"
@@ -129,7 +129,7 @@ def fps_sharded(xyz: jax.Array, npoint: int, mesh: Mesh,
         body, mesh=mesh,
         in_specs=(P(None, axis, None),),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(xyz)
 
 
@@ -209,7 +209,7 @@ def ball_query_sharded(xyz: jax.Array, new_xyz: jax.Array, radius: float,
         body, mesh=mesh,
         in_specs=(P(None, axis, None), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(xyz, new_xyz)
 
 
@@ -236,7 +236,7 @@ def gather_points_sharded(features: jax.Array, idx: jax.Array, mesh: Mesh,
         body, mesh=mesh,
         in_specs=(P(None, axis, None), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(features, idx)
 
 

@@ -63,6 +63,7 @@ def partial_load(target_tree, source_tree, log=print):
             missed_roots.add(path[0])
     if log:
         log(f"{missed_roots or set()} subnet missed.")
+        log(f"{sorted(all_roots - missed_roots)} subnet weights loaded.")
     return _unflatten(loaded)
 
 

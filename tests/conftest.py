@@ -10,6 +10,14 @@ import os
 # run on the virtual CPU mesh, so force the platform through jax.config,
 # which takes precedence.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent compile cache: the suite jit-compiles dozens of programs
+# (train/test steps, sharded variants); on a small-core host repeat runs
+# are dominated by recompiles without this.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -92,6 +92,34 @@ class TestMISE:
             oracle = sphere_logit(pts, center=centers[i])
             np.testing.assert_array_equal(grids[i] >= 0, oracle >= 0)
 
+    def test_chunked_frontier_matches_single_shot(self, monkeypatch):
+        """Frontier evaluation uses fixed-size chunks (two compiled
+        decoder shapes total); tiny chunk sizes must reproduce the
+        single-shot grids exactly, and every chunk the decoder sees must
+        have one of the two blessed widths."""
+        import rfdnet_tpu.meshing.mise as mise_mod
+
+        centers = np.array([[0.1, 0.0, 0.0], [-0.1, 0.05, 0.0]])
+        seen = []
+
+        def decode_fn(features, cls_codes, pts):
+            seen.append(pts.shape[1])
+            return np.stack([
+                sphere_logit(pts[i], center=features[i])
+                for i in range(len(features))
+            ])
+
+        args = (decode_fn, centers, np.zeros((2, 8)))
+        kw = dict(resolution_0=8, upsampling_steps=2, threshold=0.5,
+                  padding=0.1)
+        ref = mise_value_grids(*args, **kw)
+        seen.clear()
+        monkeypatch.setattr(mise_mod, "_SMALL_T", 64)
+        monkeypatch.setattr(mise_mod, "_CHUNK_T", 256)
+        chunked = mise_value_grids(*args, **kw)
+        np.testing.assert_array_equal(ref, chunked)
+        assert set(seen) <= {64, 256}
+
 
 class TestMarchingTetrahedra:
     def test_sphere_surface(self):
@@ -339,6 +367,26 @@ class TestMarchingCubes:
             voxelize_mesh_pair(vc, tc, vs), voxelize_mesh_pair(vt, tt, vs)
         )
         assert iou >= 0.99
+
+    def test_f16_grid_quantization_mesh_bound(self):
+        """`ISCNet.generate(grid_dtype='float16')` transfer-only
+        quantization: meshes extracted from f16-cast logit grids must
+        have identical topology (f16 round-to-nearest never flips a
+        logit's sign) and vertices within ~1e-3 voxel of the f32-grid
+        meshes."""
+        from rfdnet_tpu.meshing.generator import Generator3D
+
+        g = Generator3D(decode_fn=None, resolution0=32)
+        lin = np.linspace(-0.55, 0.55, 32)
+        pts = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
+        grid = sphere_logit(pts, center=(0.07, -0.03, 0.11)).astype(
+            np.float32
+        )
+        m32 = g.extract_mesh(grid)
+        m16 = g.extract_mesh(grid.astype(np.float16))
+        np.testing.assert_array_equal(m32.faces, m16.faces)
+        voxel = 1.1 / 31
+        assert np.abs(m32.vertices - m16.vertices).max() < 1e-2 * voxel
 
     def test_generator_uses_mc_by_default(self):
         from rfdnet_tpu.meshing.generator import Generator3D

@@ -159,6 +159,31 @@ def test_generate_path(completion_model_vars, batch):
     assert logits.shape == (16, 27)
 
 
+def test_generate_fused_grid_decode(completion_model_vars, batch):
+    """`generate(decode_grid_res=R)` — the single-dispatch test-protocol
+    path — must produce the same occupancy grids as a separate
+    decode_occupancy call over the same dense grid."""
+    from rfdnet_tpu.models import make_3d_grid
+
+    model, variables = completion_model_vars
+    out = model.apply(
+        variables, batch, method=ISCNet.generate, mutable=False,
+        decode_grid_res=8,
+    )
+    assert out["grids"].shape == (16, 8, 8, 8)
+
+    pts = 1.1 * make_3d_grid((-0.5,) * 3, (0.5,) * 3, (8,) * 3)
+    pts_b = jnp.broadcast_to(pts[None], (16, pts.shape[0], 3))
+    ref = model.apply(
+        variables, out["gen"]["features"], out["gen"]["cls_codes"], pts_b,
+        method=ISCNet.decode_occupancy, mutable=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["grids"]).reshape(16, -1), np.asarray(ref),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_select_completion_proposals_matches_reference_order():
     """Oracle replay of get_proposal_id 'objectness' mode
     (`network.py:417-428`): unique-GT-first (np.unique order), then

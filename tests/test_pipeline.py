@@ -111,7 +111,7 @@ def test_refit_recovers_translation():
         jnp.asarray(obj), jnp.asarray(pc),
         jnp.ones((1, 400), jnp.float32),
         jnp.asarray(start), jnp.zeros((1,), jnp.float32),
-        iterations=60,
+        jnp.float32(400), iterations=60,
     )
     assert np.linalg.norm(np.asarray(cen)) < np.linalg.norm(start)
 
@@ -135,7 +135,7 @@ def test_refit_recovers_heading():
         jnp.asarray(obj), jnp.asarray(scene),
         jnp.ones((1, 300), jnp.float32),
         jnp.zeros((1, 3), jnp.float32), jnp.zeros((1,), jnp.float32),
-        iterations=100,
+        jnp.float32(300), iterations=100,
     )
     err = (float(ori[0]) - theta + np.pi) % (2 * np.pi) - np.pi
     assert abs(err) < 0.05
@@ -155,7 +155,7 @@ def test_refit_keeps_best_loss_params():
         jnp.asarray(obj), jnp.asarray(scene),
         jnp.ones((1, 1), jnp.float32),
         jnp.zeros((1, 3), jnp.float32), jnp.zeros((1,), jnp.float32),
-        iterations=2,
+        jnp.float32(1), iterations=2,
     )
     np.testing.assert_allclose(np.asarray(cen), 0.0, atol=1e-7)
 
@@ -237,6 +237,46 @@ def test_refit_floor_filter_and_min_points():
     np.testing.assert_array_equal(
         out2["pred_corners_3d_upright_camera"][0, 1:], before[0, 1:]
     )
+
+
+def test_refit_bucketing_matches_full_padding():
+    """The refit optimization must be invariant to the padded shapes
+    (fit_meshes_to_scan pow2-buckets them): every real row keeps >=1
+    zero pad point so the chamfer min-candidates are identical, padded
+    K rows are fully masked, and loss_denom pins the normalization —
+    so _optimize at (K=2,No=64,Np=512) and (K=4,No=512,Np=2048) with the
+    same data + denominator must agree to float tolerance."""
+    from rfdnet_tpu.eval.refit import _optimize
+
+    rng = np.random.RandomState(7)
+    obj_real = [rng.uniform(-0.5, 0.5, (60, 3)).astype(np.float32),
+                rng.uniform(-0.4, 0.4, (33, 3)).astype(np.float32)]
+    pc_real = [rng.uniform(-0.8, 0.8, (300, 3)).astype(np.float32),
+               rng.uniform(-0.6, 0.6, (211, 3)).astype(np.float32)]
+    starts = np.array([[0.2, -0.1, 0.05], [-0.15, 0.2, 0.0]], np.float32)
+    denom = np.float32(2 * 50_000)
+
+    def run(Kb, No, Np):
+        obj = np.zeros((Kb, No, 3), np.float32)
+        pc = np.zeros((Kb, Np, 3), np.float32)
+        pcm = np.zeros((Kb, Np), np.float32)
+        cen = np.zeros((Kb, 3), np.float32)
+        for k in range(2):
+            obj[k, : len(obj_real[k])] = obj_real[k]
+            pc[k, : len(pc_real[k])] = pc_real[k]
+            pcm[k, : len(pc_real[k])] = 1.0
+            cen[k] = starts[k]
+        c, o = _optimize(
+            jnp.asarray(obj), jnp.asarray(pc), jnp.asarray(pcm),
+            jnp.asarray(cen), jnp.zeros((Kb,), jnp.float32),
+            jnp.float32(denom), iterations=25,
+        )
+        return np.asarray(c)[:2], np.asarray(o)[:2]
+
+    c1, o1 = run(2, 64, 512)
+    c2, o2 = run(4, 512, 2048)
+    np.testing.assert_allclose(c1, c2, atol=2e-5)
+    np.testing.assert_allclose(o1, o2, atol=2e-5)
 
 
 def test_demo_driver(tmp_path, cfg, model_and_vars):
