@@ -48,6 +48,17 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
 )
 
+
+def _enable_compile_cache():
+    # config.update, not just the env var: this image's sitecustomize
+    # imports jax at interpreter startup (axon PJRT plugin), so env vars
+    # set from Python never bind to jax's config defaults
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+
 REF_SCENES_PER_SEC_EST = 0.4  # estimated reference GPU throughput (see above)
 
 NUM_POINTS = int(os.environ.get("BENCH_POINTS", 80_000))
@@ -117,9 +128,11 @@ def bench_protocol(refit: bool, mise: bool = False,
         decode_grid_res=None if mise else GRID_RES,
         grid_dtype=None if mise else "float16",
     ))
+    # f16 at the jit boundary: transfer-only quantization of the chunked
+    # MISE logits (decoder math stays f32; cannot flip an occupancy sign)
     decode = jax.jit(lambda f, c, p: model.apply(
         variables, f, c, p, method=ISCNet.decode_occupancy, mutable=False,
-    ))
+    ).astype(jnp.float16))
     if mise:
         generator = Generator3D(decode, resolution0=16, upsampling_steps=2)
     else:
@@ -278,6 +291,7 @@ def bench_demo_scale() -> float:
 
 
 def main() -> None:
+    _enable_compile_cache()
     protocol, mean_valid = bench_protocol(refit=False)
     protocol_refit, _ = bench_protocol(refit=True)
     protocol_mise, _ = bench_protocol(refit=False, mise=True)

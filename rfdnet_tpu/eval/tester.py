@@ -93,11 +93,13 @@ class Tester:
                 grid_dtype="float16" if self._fused_grid_res else None,
             )
         )
+        # f16 at the jit boundary: transfer-only quantization of the
+        # chunked MISE logits (decoder math stays f32)
         decode = jax.jit(
             lambda f, c, p: model.apply(
                 variables, f, c, p, method=ISCNet.decode_occupancy,
                 mutable=False, rng=z_rng,
-            )
+            ).astype("float16")
         )
         self.generator = Generator3D(
             decode,

@@ -126,6 +126,19 @@ _SMALL_T = 8192
 _CHUNK_T = 32768
 
 
+def _make_tree(resolution_0: int, depth: int, threshold: float):
+    """C++ octree when the native library builds (the production path —
+    the reference's libmise is Cython/C++ as well), Python oracle
+    otherwise. Both implement the identical contract; equivalence is
+    asserted in tests/test_meshing.py."""
+    try:
+        from .native import MiseNative
+
+        return MiseNative(resolution_0, depth, threshold)
+    except Exception:
+        return MISE(resolution_0, depth, threshold)
+
+
 def mise_value_grids(decode_fn, features, cls_codes, resolution_0: int,
                      upsampling_steps: int, threshold: float, padding: float):
     """Run all proposals' MISE octrees in lock-step with batched,
@@ -148,7 +161,7 @@ def mise_value_grids(decode_fn, features, cls_codes, resolution_0: int,
     box_size = 1.0 + padding
     logit_thresh = float(_np.log(threshold) - _np.log(1.0 - threshold))
 
-    trees = [MISE(resolution_0, upsampling_steps, logit_thresh)
+    trees = [_make_tree(resolution_0, upsampling_steps, logit_thresh)
              for _ in range(Nb)]
     R = trees[0].R
 

@@ -68,6 +68,22 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_double), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.mise_create.restype = ctypes.c_void_p
+        lib.mise_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ]
+        lib.mise_destroy.argtypes = [ctypes.c_void_p]
+        lib.mise_query.restype = ctypes.c_int
+        lib.mise_query.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ]
+        lib.mise_update.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ]
+        lib.mise_to_dense.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
         return lib
 
@@ -202,6 +218,57 @@ def points_in_mesh(verts, tris, points) -> np.ndarray:
         _cptr(out, ctypes.c_uint8),
     )
     return out.astype(bool)
+
+
+class MiseNative:
+    """C++ MISE octree (`external/libmise/mise.pyx` role; the reference
+    keeps this bookkeeping native too). Same contract as the Python
+    `meshing.mise.MISE` oracle: `query()` returns the unknown lattice
+    points (lexicographic order), `update(points, values)` stores logits
+    and advances the refinement frontier, `to_dense()` fills unknowns
+    from their coarsest known ancestor corner."""
+
+    def __init__(self, resolution_0: int, depth: int, threshold: float):
+        self._lib = get_lib()
+        self.res0 = int(resolution_0)
+        self.depth = int(depth)
+        self.R = self.res0 * 2 ** self.depth
+        self._h = ctypes.c_void_p(self._lib.mise_create(
+            self.res0, self.depth, ctypes.c_double(threshold)
+        ))
+
+    def query(self) -> np.ndarray:
+        cap = 0
+        n = self._lib.mise_query(
+            self._h, ctypes.POINTER(ctypes.c_int64)(), cap
+        )
+        out = np.empty((n, 3), dtype=np.int64)
+        if n:
+            self._lib.mise_query(self._h, _cptr(out, ctypes.c_int64), n)
+        return out
+
+    def update(self, points: np.ndarray, values: np.ndarray) -> None:
+        points = np.ascontiguousarray(points, dtype=np.int64).reshape(-1, 3)
+        values = np.ascontiguousarray(values, dtype=np.float64).reshape(-1)
+        self._lib.mise_update(
+            self._h, _cptr(points, ctypes.c_int64),
+            _cptr(values, ctypes.c_double), len(points),
+        )
+
+    def done(self) -> bool:
+        return self._lib.mise_query(
+            self._h, ctypes.POINTER(ctypes.c_int64)(), 0
+        ) == 0
+
+    def to_dense(self) -> np.ndarray:
+        out = np.empty((self.R + 1,) * 3, dtype=np.float32)
+        self._lib.mise_to_dense(self._h, _cptr(out, ctypes.c_float))
+        return out
+
+    def __del__(self):
+        h, self._h = self._h, None
+        if h:
+            self._lib.mise_destroy(h)
 
 
 def simplify_mesh(verts, tris, target_faces: int,

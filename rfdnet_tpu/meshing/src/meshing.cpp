@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <limits>
 #include <vector>
 #include <deque>
 #include <algorithm>
@@ -509,5 +510,131 @@ void points_in_mesh(const double *verts, int nv, const int *tris, int nt,
     out[p] = (uint8_t)(crossings & 1);
   }
 }
+
+}  // extern "C"
+
+// ------------------------------------------------------------------- MISE
+// Multi-resolution iso-surface extraction octree (`external/libmise/
+// mise.pyx` rebuilt; the reference keeps this in Cython/C++ too). The
+// Python lock-step driver (meshing/mise.py) owns one handle per proposal;
+// the hot bookkeeping (frontier advance, ancestor fill) runs here.
+// Semantics are identical to the Python MISE class: query() returns the
+// unknown lattice points in lexicographic order (matching np.unique), a
+// voxel subdivides iff all 8 corners are known and their signs are mixed,
+// and to_dense() fills unknowns from the coarsest known floor-aligned
+// ancestor, level by level.
+
+struct MiseTree {
+  int res0, depth, R, level;
+  double threshold;
+  std::vector<double> values;  // (R+1)^3, NaN = unknown
+  std::vector<int64_t> pending;  // flat lattice ids, ascending
+
+  inline size_t id(int64_t x, int64_t y, int64_t z) const {
+    return ((size_t)x * (R + 1) + y) * (R + 1) + z;
+  }
+  inline bool known(size_t i) const { return !std::isnan(values[i]); }
+
+  MiseTree(int r0, int d, double thr)
+      : res0(r0), depth(d), R(r0 << d), level(0), threshold(thr),
+        values(((size_t)R + 1) * (R + 1) * (R + 1),
+               std::numeric_limits<double>::quiet_NaN()) {
+    int64_t step = (int64_t)1 << depth;
+    for (int64_t x = 0; x <= R; x += step)
+      for (int64_t y = 0; y <= R; y += step)
+        for (int64_t z = 0; z <= R; z += step)
+          pending.push_back((int64_t)id(x, y, z));
+  }
+
+  void advance() {
+    if (level >= depth) {
+      pending.clear();
+      return;
+    }
+    int64_t s = (int64_t)1 << (depth - level);  // voxel edge at this level
+    int64_t n = R / s, h = s / 2;
+    std::vector<int64_t> next;
+    for (int64_t i = 0; i < n; ++i)
+      for (int64_t j = 0; j < n; ++j)
+        for (int64_t k = 0; k < n; ++k) {
+          int occ = 0, kn = 0;
+          for (int dx = 0; dx <= 1; ++dx)
+            for (int dy = 0; dy <= 1; ++dy)
+              for (int dz = 0; dz <= 1; ++dz) {
+                size_t c = id((i + dx) * s, (j + dy) * s, (k + dz) * s);
+                if (known(c)) {
+                  ++kn;
+                  if (values[c] >= threshold) ++occ;
+                }
+              }
+          if (kn == 8 && occ > 0 && occ < 8) {
+            // queue the unknown points of the voxel's 3x3x3 half-stride
+            // child lattice
+            for (int64_t a = 0; a <= 2; ++a)
+              for (int64_t b = 0; b <= 2; ++b)
+                for (int64_t c = 0; c <= 2; ++c) {
+                  size_t p =
+                      id(i * s + a * h, j * s + b * h, k * s + c * h);
+                  if (!known(p)) next.push_back((int64_t)p);
+                }
+          }
+        }
+    std::sort(next.begin(), next.end());
+    next.erase(std::unique(next.begin(), next.end()), next.end());
+    pending.swap(next);
+    ++level;
+    if (pending.empty() && level < depth) advance();
+  }
+
+  void to_dense(float *out) const {
+    std::vector<double> v(values);
+    for (int lvl = 0; lvl < depth; ++lvl) {
+      int64_t s = (int64_t)1 << (depth - lvl), h = s / 2;
+      for (int64_t x = 0; x <= R; x += h)
+        for (int64_t y = 0; y <= R; y += h)
+          for (int64_t z = 0; z <= R; z += h) {
+            size_t p = id(x, y, z);
+            if (std::isnan(v[p]))
+              v[p] = v[id(x / s * s, y / s * s, z / s * s)];
+          }
+    }
+    for (size_t i = 0; i < v.size(); ++i) out[i] = (float)v[i];
+  }
+};
+
+extern "C" {
+
+void *mise_create(int resolution_0, int depth, double threshold) {
+  return new MiseTree(resolution_0, depth, threshold);
+}
+
+void mise_destroy(void *h) { delete (MiseTree *)h; }
+
+// Write up to `cap` pending lattice points (x,y,z triples, ascending
+// lexicographic) into out_pts; returns the number pending. Pending points
+// are by construction unknown (update() only queues unknowns).
+int mise_query(void *h, int64_t *out_pts, int cap) {
+  MiseTree &t = *(MiseTree *)h;
+  int n = (int)t.pending.size();
+  int m = n < cap ? n : cap;
+  int64_t r1 = t.R + 1;
+  for (int i = 0; i < m; ++i) {
+    int64_t f = t.pending[i];
+    out_pts[3 * i + 2] = f % r1;
+    out_pts[3 * i + 1] = (f / r1) % r1;
+    out_pts[3 * i] = f / (r1 * r1);
+  }
+  return n;
+}
+
+// Store values for the given lattice points and advance the frontier.
+void mise_update(void *h, const int64_t *pts, const double *vals, int n) {
+  MiseTree &t = *(MiseTree *)h;
+  for (int i = 0; i < n; ++i)
+    t.values[t.id(pts[3 * i], pts[3 * i + 1], pts[3 * i + 2])] = vals[i];
+  t.advance();
+}
+
+void mise_to_dense(void *h, float *out) { ((MiseTree *)h)->to_dense(out); }
 
 }  // extern "C"

@@ -18,9 +18,28 @@ import numpy as np
 
 def initiate_environment(seed: int) -> None:
     """Seed host RNGs (`net_utils/utils.py:199-210`); device-side
-    randomness is jax-PRNG-key-threaded and needs no global seed."""
+    randomness is jax-PRNG-key-threaded and needs no global seed.
+    Also points jax's persistent compile cache at the repo-level
+    .jax_cache dir (via config.update — env vars set from Python do not
+    bind, this image's sitecustomize imports jax at interpreter
+    startup)."""
     random.seed(seed)
     np.random.seed(seed)
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__)))), ".jax_cache",
+                ),
+            ),
+        )
+    except Exception:
+        pass
 
 
 class AverageMeter:

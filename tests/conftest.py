@@ -27,6 +27,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# config.update, not the env var: this image's sitecustomize imports jax
+# at interpreter startup (to register the axon PJRT plugin), so env vars
+# set from Python never bind to jax's config defaults
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
 
 import numpy as np
 import pytest

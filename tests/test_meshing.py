@@ -92,6 +92,36 @@ class TestMISE:
             oracle = sphere_logit(pts, center=centers[i])
             np.testing.assert_array_equal(grids[i] >= 0, oracle >= 0)
 
+    def test_native_octree_matches_python_oracle(self):
+        """The C++ MISE octree (meshing.cpp mise_*, the production path
+        of `_make_tree`) must replay the Python MISE class exactly:
+        identical query sequences (points AND order), identical dense
+        grids — for several res0/depth combos including one where some
+        voxels never subdivide."""
+        from rfdnet_tpu.meshing.mise import MISE
+        from rfdnet_tpu.meshing.native import MiseNative
+
+        def field(pts, R):
+            p = pts.astype(np.float64) / R * 1.1 - 0.55
+            d = np.linalg.norm(p - np.array([0.05, -0.02, 0.1]), axis=-1)
+            return 40.0 * (0.35 - d)
+
+        for res0, depth in [(8, 2), (16, 2), (4, 3)]:
+            py = MISE(res0, depth, 0.0)
+            cc = MiseNative(res0, depth, 0.0)
+            while True:
+                qp, qc = py.query(), cc.query()
+                np.testing.assert_array_equal(qp, qc)
+                if len(qp) == 0:
+                    break
+                v = field(qp, py.R)
+                py.update(qp, v)
+                cc.update(qc, v)
+            np.testing.assert_allclose(
+                py.to_dense().astype(np.float32), cc.to_dense(),
+                rtol=0, atol=0,
+            )
+
     def test_chunked_frontier_matches_single_shot(self, monkeypatch):
         """Frontier evaluation uses fixed-size chunks (two compiled
         decoder shapes total); tiny chunk sizes must reproduce the

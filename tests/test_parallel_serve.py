@@ -1,0 +1,109 @@
+"""Multi-chip batched serving (`parallel/serve.py`): the fused generate
+path sharded over the 8-device virtual data mesh must (a) run with zero
+host-side surgery, (b) keep outputs batch-sharded, and (c) agree with
+the single-device generate on the same batch.
+
+Agreement note: generate is per-scene independent math, so the sharded
+program computes the same function; codegen across batch layouts can
+round big contractions ~1 ULP apart, which may flip a discrete selection
+(NMS order, vote FPS) for a proposal sitting exactly on a tie. Smooth
+outputs are compared with small tolerances and discrete masks by
+near-total agreement (the same contract `__graft_entry__.dryrun_multichip`
+uses for the train step).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rfdnet_tpu.config.scannet import ScannetConfig
+from rfdnet_tpu.data.synthetic import synthetic_scene_batch
+from rfdnet_tpu.models import ISCNet
+from rfdnet_tpu.parallel.mesh import make_mesh
+from rfdnet_tpu.parallel.serve import make_sharded_generate
+
+N_POINTS = 1024
+GRID = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dc = ScannetConfig()
+    model = ISCNet(
+        mean_size_arr=dc.mean_size_arr, phase="completion",
+        completion_limit=4, generate_limit=8,
+    )
+    full = synthetic_scene_batch(
+        np.random.RandomState(0), batch_size=8, num_points=N_POINTS,
+        mean_size_arr=dc.mean_size_arr,
+    )
+    full = jax.tree_util.tree_map(jnp.asarray, full)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jax.tree_util.tree_map(lambda x: x[:2], full),
+        train=False, rng=jax.random.PRNGKey(1),
+    )
+    # serving: no GT supervision keys (the demo/test inference contract)
+    batch = {"point_clouds": full["point_clouds"]}
+    return model, variables, batch
+
+
+def test_sharded_generate_matches_single_device(setup):
+    model, variables, batch = setup
+    mesh = make_mesh(jax.devices()[:8])
+    kw = dict(nms_iou=0.25, use_cls_nms=True, dump_threshold=0.05,
+              remove_empty_box=True, decode_grid_res=GRID)
+
+    serve = make_sharded_generate(model, variables, mesh, **kw)
+    out_s = serve(batch)
+
+    # outputs stay batch-sharded over the data axis
+    shd = out_s["grids"].sharding
+    assert shd.spec[0] == "data", shd
+
+    out_1 = jax.jit(
+        lambda v, d: model.apply(v, d, method=ISCNet.generate,
+                                 mutable=False, **kw)
+    )(variables, batch)
+
+    B = batch["point_clouds"].shape[0]
+    assert out_s["grids"].shape == (B * 8, GRID, GRID, GRID)
+
+    # smooth outputs agree tightly
+    np.testing.assert_allclose(
+        np.asarray(out_s["parsed"]["obj_prob"]),
+        np.asarray(out_1["parsed"]["obj_prob"]), atol=1e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s["parsed"]["pred_corners_3d_upright_camera"]),
+        np.asarray(out_1["parsed"]["pred_corners_3d_upright_camera"]),
+        atol=1e-3,
+    )
+    # discrete NMS keep-mask: near-total agreement (ULP-tie flips only)
+    m_s = np.asarray(out_s["parsed"]["pred_mask"])
+    m_1 = np.asarray(out_1["parsed"]["pred_mask"])
+    assert (m_s == m_1).mean() > 0.99, (m_s != m_1).sum()
+    # occupancy grids for identically-selected proposals agree
+    v_s = np.asarray(out_s["gen"]["valid"]).reshape(-1)
+    v_1 = np.asarray(out_1["gen"]["valid"]).reshape(-1)
+    ids_s = np.asarray(out_s["gen"]["proposal_ids"]).reshape(-1, 3)
+    ids_1 = np.asarray(out_1["gen"]["proposal_ids"]).reshape(-1, 3)
+    same = v_s & v_1 & (ids_s == ids_1).all(axis=1)
+    assert same.mean() > 0.9
+    np.testing.assert_allclose(
+        np.asarray(out_s["grids"])[same], np.asarray(out_1["grids"])[same],
+        atol=5e-3,
+    )
+
+
+def test_sharded_generate_f16_grids(setup):
+    model, variables, batch = setup
+    mesh = make_mesh(jax.devices()[:8])
+    serve = make_sharded_generate(
+        model, variables, mesh, dump_threshold=0.05,
+        decode_grid_res=GRID, grid_dtype="float16",
+    )
+    out = serve(batch)
+    assert out["grids"].dtype == jnp.float16
+    assert np.isfinite(np.asarray(out["grids"], np.float32)).all()
