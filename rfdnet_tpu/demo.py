@@ -77,6 +77,9 @@ def generate(cfg, model: ISCNet, variables, data: dict,
         decode, threshold=cfg.config["data"]["threshold"],
         resolution0=gen_cfg["resolution_0"],
         upsampling_steps=gen_cfg["upsampling_steps"],
+        refinement_step=gen_cfg.get("refinement_step", 0) or 0,
+        simplify_nfaces=gen_cfg.get("simplify_nfaces"),
+        with_normals=gen_cfg.get("with_normals", False),
     )
     meshes = generator.generate_meshes(
         gen["features"], gen["cls_codes"], valid=gen["valid"].reshape(-1)

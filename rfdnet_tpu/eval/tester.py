@@ -108,6 +108,7 @@ class Tester:
             upsampling_steps=gen_cfg["upsampling_steps"],
             refinement_step=gen_cfg.get("refinement_step", 0) or 0,
             simplify_nfaces=gen_cfg.get("simplify_nfaces"),
+            with_normals=gen_cfg.get("with_normals", False),
         )
         self.voxel_pool = ThreadPoolExecutor(8)
 

@@ -19,6 +19,7 @@ proposal on the host (C++ marching cubes; marching tetrahedra optional).
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import numpy as np
 
@@ -38,14 +39,19 @@ class Generator3D:
     def __init__(self, decode_fn, threshold=0.5, resolution0=32,
                  upsampling_steps=0, padding=0.1, points_batch_size=100000,
                  refinement_step=0, simplify_nfaces=None,
-                 extractor="marching_cubes"):
+                 extractor="marching_cubes", with_normals=False):
         """decode_fn: (features (Nb, c), cls_codes (Nb, nc), points
         (Nb, T, 3)) -> logits (Nb, T) — e.g. a jitted partial of
         ISCNet.decode_occupancy.
 
         extractor: 'marching_cubes' (default — the reference's PyMCubes
         extraction, `generator.py:160`) or 'marching_tetrahedra' (~3x more
-        triangles for the same field)."""
+        triangles for the same field).
+
+        with_normals: attach per-vertex normals estimated as the
+        negative normalized occupancy gradient at each vertex
+        (`generator.py:173-225` with_normals/estimate_normals; off in
+        every shipped config, like the reference)."""
         self.decode_fn = decode_fn
         self.threshold = threshold
         self.resolution0 = resolution0
@@ -54,6 +60,7 @@ class Generator3D:
         self.points_batch_size = points_batch_size
         self.refinement_step = refinement_step
         self.simplify_nfaces = simplify_nfaces
+        self.with_normals = with_normals
         self.extract_fn = {
             "marching_cubes": marching_cubes,
             "marching_tetrahedra": marching_tetrahedra,
@@ -125,7 +132,47 @@ class Generator3D:
                 )
                 for i, m in enumerate(meshes)
             ]
+        if self.with_normals:
+            for i, m in enumerate(meshes):
+                if len(m.vertices) and (
+                    valid is None or bool(valid[i])
+                ):
+                    m.vertex_normals = self.estimate_normals(
+                        m.vertices, features[i], cls_codes[i]
+                    )
         return meshes
+
+    def estimate_normals(self, vertices, feature, cls_code) -> np.ndarray:
+        """Per-vertex normals as the negative normalized gradient of the
+        decoder's occupancy logit (`generator.py:199-225`
+        estimate_normals: -grad / ||grad||). Vertex count is pow2-bucketed
+        so one jitted vjp serves every mesh size up to the bucket."""
+        import jax
+        import jax.numpy as jnp
+
+        V = len(vertices)
+        Vb = _bucket_pow2(V)
+        pts = np.zeros((Vb, 3), np.float32)
+        pts[:V] = vertices
+        decode = self.decode_fn
+
+        @partial(jax.jit, static_argnums=())
+        def grads(feature, cls_code, pts):
+            def total(p):
+                return jnp.sum(
+                    decode(feature[None], cls_code[None], p[None])[0]
+                    .astype(jnp.float32)
+                )
+
+            return jax.grad(total)(pts)
+
+        g = np.asarray(grads(
+            jnp.asarray(feature), jnp.asarray(cls_code), jnp.asarray(pts)
+        ))[:V]
+        n = -g / np.maximum(
+            np.linalg.norm(g, axis=-1, keepdims=True), 1e-12
+        )
+        return n
 
     def _mise_grids(self, features, cls_codes):
         from .mise import mise_value_grids

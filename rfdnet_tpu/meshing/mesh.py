@@ -11,9 +11,14 @@ import numpy as np
 
 
 class TriMesh:
-    def __init__(self, vertices, faces):
+    def __init__(self, vertices, faces, vertex_normals=None):
         self.vertices = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
         self.faces = np.asarray(faces, dtype=np.int32).reshape(-1, 3)
+        #: optional (V, 3) unit normals (Generator3D with_normals)
+        self.vertex_normals = (
+            None if vertex_normals is None
+            else np.asarray(vertex_normals, dtype=np.float64).reshape(-1, 3)
+        )
 
     @property
     def bounds(self):
@@ -22,7 +27,11 @@ class TriMesh:
         return np.stack([self.vertices.min(0), self.vertices.max(0)])
 
     def copy(self):
-        return TriMesh(self.vertices.copy(), self.faces.copy())
+        return TriMesh(
+            self.vertices.copy(), self.faces.copy(),
+            None if self.vertex_normals is None
+            else self.vertex_normals.copy(),
+        )
 
     def apply_transform(self, matrix4):
         m = np.asarray(matrix4)
@@ -33,7 +42,7 @@ class TriMesh:
     # ------------------------------------------------------------------ IO
     def export(self, path: str):
         if path.endswith(".ply"):
-            write_ply(path, self.vertices, self.faces)
+            write_ply(path, self.vertices, self.faces, self.vertex_normals)
         elif path.endswith(".off"):
             write_off(path, self.vertices, self.faces)
         else:
@@ -48,19 +57,30 @@ class TriMesh:
         raise ValueError(f"unsupported mesh format: {path}")
 
 
-def write_ply(path, vertices, faces):
+def write_ply(path, vertices, faces, vertex_normals=None):
     vertices = np.asarray(vertices)
     faces = np.asarray(faces)
+    normal_props = (
+        "property float nx\nproperty float ny\nproperty float nz\n"
+        if vertex_normals is not None else ""
+    )
     with open(path, "wb") as f:
         header = (
             "ply\nformat binary_little_endian 1.0\n"
             f"element vertex {len(vertices)}\n"
             "property float x\nproperty float y\nproperty float z\n"
+            + normal_props +
             f"element face {len(faces)}\n"
             "property list uchar int vertex_indices\nend_header\n"
         )
         f.write(header.encode())
-        f.write(vertices.astype("<f4").tobytes())
+        if vertex_normals is not None:
+            inter = np.concatenate(
+                [vertices, np.asarray(vertex_normals)], axis=1
+            )
+            f.write(inter.astype("<f4").tobytes())
+        else:
+            f.write(vertices.astype("<f4").tobytes())
         face_block = np.empty(
             (len(faces),),
             dtype=[("n", "u1"), ("idx", "<i4", (3,))],

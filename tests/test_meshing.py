@@ -398,6 +398,42 @@ class TestMarchingCubes:
         )
         assert iou >= 0.99
 
+    def test_estimate_normals_radial_on_sphere(self, tmp_path):
+        """Generator3D(with_normals=True) attaches -grad(occ)/|grad|
+        normals (`generator.py:199-225`): for a sphere occupancy field
+        (logit = sharp*(r - |p - c|)) the gradient points inward, so the
+        normals must point radially OUT from the center; the PLY
+        round-trip must carry them."""
+        import jax.numpy as jnp
+
+        from rfdnet_tpu.meshing.generator import Generator3D
+        from rfdnet_tpu.meshing.mesh import TriMesh
+
+        center = np.array([0.05, -0.02, 0.1], np.float32)
+
+        def decode_fn(features, cls_codes, pts):
+            d = jnp.linalg.norm(pts - features[:, None, :], axis=-1)
+            return 40.0 * (0.35 - d)
+
+        g = Generator3D(
+            decode_fn, resolution0=24, with_normals=True,
+        )
+        meshes = g.generate_meshes(
+            jnp.asarray(center[None]), jnp.zeros((1, 8)),
+        )
+        m = meshes[0]
+        assert m.vertex_normals is not None
+        assert m.vertex_normals.shape == m.vertices.shape
+        radial = m.vertices - center
+        radial /= np.linalg.norm(radial, axis=-1, keepdims=True)
+        cos = np.sum(m.vertex_normals * radial, axis=-1)
+        assert cos.min() > 0.99, cos.min()
+
+        p = str(tmp_path / "n.ply")
+        m.export(p)
+        rt = TriMesh.load(p)
+        np.testing.assert_allclose(rt.vertices, m.vertices, atol=1e-6)
+
     def test_f16_grid_quantization_mesh_bound(self):
         """`ISCNet.generate(grid_dtype='float16')` transfer-only
         quantization: meshes extracted from f16-cast logit grids must
