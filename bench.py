@@ -120,6 +120,8 @@ def bench_protocol(refit: bool, mise: bool = False,
     # dense-grid mode fuses the proposal-grid decode into the SAME jitted
     # program as detection+completion: ONE device dispatch per scene (the
     # MISE octree path is inherently iterative and keeps its own dispatches)
+    # fused Pallas decoder chain on TPU (ops/cbn_decoder.py)
+    impl = "pallas" if jax.default_backend() == "tpu" else None
     gen_fn = jax.jit(partial(
         lambda v, d, **kw: model.apply(
             v, d, method=ISCNet.generate, mutable=False, **kw),
@@ -127,11 +129,13 @@ def bench_protocol(refit: bool, mise: bool = False,
         remove_empty_box=True,
         decode_grid_res=None if mise else GRID_RES,
         grid_dtype=None if mise else "float16",
+        grid_impl=None if bf16 else impl,
     ))
     # f16 at the jit boundary: transfer-only quantization of the chunked
     # MISE logits (decoder math stays f32; cannot flip an occupancy sign)
     decode = jax.jit(lambda f, c, p: model.apply(
         variables, f, c, p, method=ISCNet.decode_occupancy, mutable=False,
+        impl=impl,
     ).astype(jnp.float16))
     if mise:
         generator = Generator3D(decode, resolution0=16, upsampling_steps=2)
@@ -309,9 +313,10 @@ def main() -> None:
             "scenes_per_sec_demo_scale_device": round(demo, 4),
             "mean_valid_proposals": round(mean_valid, 2),
             "protocol": "generate_limit=64, remove_empty_box, conf 0.05, "
-                        "cls-NMS 0.25, dense 32^3 decode (f32 math, f16 "
-                        "grid transfer), host marching cubes, wall-clock "
-                        "incl. tunnel RPC",
+                        "cls-NMS 0.25, dense 32^3 decode (fused pallas "
+                        "kernel: bf16 MXU operands + f32 accumulate == "
+                        "MXU default-precision f32; f16 grid transfer), "
+                        "host marching cubes, wall-clock incl. tunnel RPC",
         },
     }))
 

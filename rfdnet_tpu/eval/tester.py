@@ -79,6 +79,10 @@ class Tester:
             if self.generate_mesh and gen_cfg["upsampling_steps"] == 0
             else None
         )
+        # fused Pallas decoder chain on TPU (ops/cbn_decoder.py, 2.3x the
+        # unfused f32 decode); the flax chain elsewhere (the kernel only
+        # interprets off-TPU, which is far slower than XLA CPU)
+        impl = "pallas" if jax.default_backend() == "tpu" else None
         self._gen_fn = jax.jit(
             partial(
                 self._apply_generate,
@@ -91,6 +95,7 @@ class Tester:
                 # transfer-only quantization of the logit grids (the
                 # largest device->host output); decoder math stays f32
                 grid_dtype="float16" if self._fused_grid_res else None,
+                grid_impl=impl,
             )
         )
         # f16 at the jit boundary: transfer-only quantization of the
@@ -98,7 +103,7 @@ class Tester:
         decode = jax.jit(
             lambda f, c, p: model.apply(
                 variables, f, c, p, method=ISCNet.decode_occupancy,
-                mutable=False, rng=z_rng,
+                mutable=False, rng=z_rng, impl=impl,
             ).astype("float16")
         )
         self.generator = Generator3D(

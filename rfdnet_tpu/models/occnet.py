@@ -54,6 +54,38 @@ class ONet(nn.Module):
         """p (Nb, T, 3), z (Nb, z_dim)|None, features (Nb, c_dim) -> logits."""
         return self.decoder(p, z, features, train, bn_momentum)
 
+    def decode_fused(self, p, z, c):
+        """Eval-mode decode through the single fused Pallas kernel
+        (`ops/cbn_decoder.py`): the 11 CBNs fold into per-proposal affine
+        tables and the whole 5-block chain runs VMEM-resident — 2.3x the
+        unfused f32 decode at protocol scale (BASELINE.md). bf16-operand
+        matmuls with f32 accumulation, i.e. the `decoder_dtype="bfloat16"`
+        numerics. Interpreted (slow, exact-lowering) off-TPU."""
+        import jax as _jax
+
+        from ..ops.cbn_decoder import fold_cbn_constants, fused_cbn_decode
+
+        dv = self.decoder.variables
+        dp, st = dv["params"], dv["batch_stats"]
+        h0 = p @ dp["fc_p"]["kernel"] + dp["fc_p"]["bias"]
+        if self.z_dim != 0:
+            h0 = h0 + (z @ dp["fc_z"]["kernel"]
+                       + dp["fc_z"]["bias"])[:, None, :]
+        scales, shifts = fold_cbn_constants(dp, st, c)
+        stack_k = lambda f: jnp.stack(
+            [dp[f"block{i}"][f]["kernel"] for i in range(5)]
+        )
+        stack_b = lambda f: jnp.stack(
+            [dp[f"block{i}"][f]["bias"] for i in range(5)]
+        )
+        return fused_cbn_decode(
+            h0, scales, shifts,
+            stack_k("fc_0"), stack_b("fc_0"),
+            stack_k("fc_1"), stack_b("fc_1"),
+            dp["fc_out"]["kernel"][:, 0], dp["fc_out"]["bias"][0],
+            interpret=_jax.default_backend() != "tpu",
+        )
+
     def infer_z(self, p, occ, c):
         if self.z_dim != 0:
             return self.encoder_latent(p, occ, c)
