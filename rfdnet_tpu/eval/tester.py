@@ -106,6 +106,14 @@ class Tester:
                 mutable=False, rng=z_rng, impl=impl,
             ).astype("float16")
         )
+        # gradient-capable decode for refine_mesh / estimate_normals
+        # (the Pallas kernel has no automatic VJP)
+        decode_grad = jax.jit(
+            lambda f, c, p: model.apply(
+                variables, f, c, p, method=ISCNet.decode_occupancy,
+                mutable=False, rng=z_rng,
+            )
+        )
         self.generator = Generator3D(
             decode,
             threshold=cfg.config["data"]["threshold"],
@@ -114,6 +122,7 @@ class Tester:
             refinement_step=gen_cfg.get("refinement_step", 0) or 0,
             simplify_nfaces=gen_cfg.get("simplify_nfaces"),
             with_normals=gen_cfg.get("with_normals", False),
+            decode_fn_grad=decode_grad,
         )
         self.voxel_pool = ThreadPoolExecutor(8)
 

@@ -39,10 +39,17 @@ class Generator3D:
     def __init__(self, decode_fn, threshold=0.5, resolution0=32,
                  upsampling_steps=0, padding=0.1, points_batch_size=100000,
                  refinement_step=0, simplify_nfaces=None,
-                 extractor="marching_cubes", with_normals=False):
+                 extractor="marching_cubes", with_normals=False,
+                 decode_fn_grad=None):
         """decode_fn: (features (Nb, c), cls_codes (Nb, nc), points
         (Nb, T, 3)) -> logits (Nb, T) — e.g. a jitted partial of
         ISCNet.decode_occupancy.
+
+        decode_fn_grad: optional decode used by the GRADIENT paths
+        (refine_mesh, estimate_normals). Pass a flax-chain decode when
+        decode_fn routes through the fused Pallas kernel
+        (impl="pallas"), which has no automatic VJP. Defaults to
+        decode_fn.
 
         extractor: 'marching_cubes' (default — the reference's PyMCubes
         extraction, `generator.py:160`) or 'marching_tetrahedra' (~3x more
@@ -53,6 +60,7 @@ class Generator3D:
         (`generator.py:173-225` with_normals/estimate_normals; off in
         every shipped config, like the reference)."""
         self.decode_fn = decode_fn
+        self.decode_fn_grad = decode_fn_grad or decode_fn
         self.threshold = threshold
         self.resolution0 = resolution0
         self.upsampling_steps = upsampling_steps
@@ -154,7 +162,7 @@ class Generator3D:
         Vb = _bucket_pow2(V)
         pts = np.zeros((Vb, 3), np.float32)
         pts[:V] = vertices
-        decode = self.decode_fn
+        decode = self.decode_fn_grad
 
         @partial(jax.jit, static_argnums=())
         def grads(feature, cls_code, pts):
@@ -210,7 +218,7 @@ class Generator3D:
         fmask = np.zeros((Fb,), np.float32)
         fmask[:F] = 1.0
 
-        decode = self.decode_fn
+        decode = self.decode_fn_grad
         feature_b = jnp.asarray(feature)[None]
         cls_b = jnp.asarray(cls_code)[None]
 
