@@ -262,17 +262,26 @@ class ISCNet(nn.Module):
         )
 
         if self.phase == "completion":
-            objectness_probs = jax.nn.softmax(
-                end_points["objectness_scores"], axis=-1
-            )[..., 1]
-            proposal_ids = select_completion_proposals(
-                objectness_probs,
-                end_points["center"],
-                data["center_label"][:, :, 0:3],
-                data["box_label_mask"],
-                data["sem_cls_label"],
-                self.completion_limit,
-            )
+            if "pinned_proposal_ids" in data:
+                # test hook: bypass the objectness-driven selection so
+                # skip propagation sees identical proposals regardless of
+                # upstream ~1-ULP codegen differences (used by the
+                # pinned-selection DP-equality test; the reference has no
+                # equivalent because DataParallel never changes program
+                # layout per replica count)
+                proposal_ids = data["pinned_proposal_ids"]
+            else:
+                objectness_probs = jax.nn.softmax(
+                    end_points["objectness_scores"], axis=-1
+                )[..., 1]
+                proposal_ids = select_completion_proposals(
+                    objectness_probs,
+                    end_points["center"],
+                    data["center_label"][:, :, 0:3],
+                    data["box_label_mask"],
+                    data["sem_cls_label"],
+                    self.completion_limit,
+                )
             (_, completion_loss, mask_loss, shape_example) = self._complete(
                 end_points, proposal_features, proposal_ids, data,
                 train, bn_momentum, r_z,
@@ -444,6 +453,7 @@ class ISCNet(nn.Module):
                     pred_centers, heading_angles, sel_features,
                     data["point_clouds"], data["point_instance_labels"],
                     proposal_instance_labels, False, None,
+                    slot_mask=valid,
                 )
             else:  # demo mode: argmax mask, no supervision
                 object_input_features = self.skip_propagation.generate(
@@ -545,7 +555,10 @@ class ISCNet(nn.Module):
                 impl=grid_impl,
             )
             if grid_dtype is not None:
-                logits = logits.astype(grid_dtype)
+                # clip to the f16 finite range before narrowing: |logit| >
+                # 65504 would overflow to inf and NaN the marching-cubes
+                # vertex interpolation; sign/threshold is unaffected
+                logits = jnp.clip(logits, -6e4, 6e4).astype(grid_dtype)
             out["grids"] = logits.reshape(Nb, nx, nx, nx)
         return out
 

@@ -104,26 +104,42 @@ class PointSeg(nn.Module):
         return nn.log_softmax(h, axis=-1), trans_feat
 
 
-def feature_transform_regularizer(trans):
+def feature_transform_regularizer(trans, weights=None):
     """||A A^T - I|| orthogonality penalty (`pointseg.py:134-141`).
 
     NOTE: replicates the reference literally, including its operator-order
     quirk: torch computes ``bmm(A, A^T - I)`` (the -I applies BEFORE the
     product), then a frobenius norm per batch, then the mean.
+
+    weights: optional (B,) — masked mean over the batch (static-shape
+    padding slots excluded, matching the reference's dynamic gather).
     """
     d = trans.shape[1]
     eye = jnp.eye(d, dtype=trans.dtype)
     # torch: bmm(trans, trans.transpose(2,1) - I)
     prod = jnp.einsum("bij,bjk->bik", trans, jnp.swapaxes(trans, 1, 2) - eye)
-    return jnp.mean(jnp.linalg.norm(prod, axis=(1, 2)))
+    norms = jnp.linalg.norm(prod, axis=(1, 2))
+    if weights is None:
+        return jnp.mean(norms)
+    return jnp.sum(norms * weights) / jnp.maximum(jnp.sum(weights), 1e-6)
 
 
-def pointseg_loss(log_probs, target, trans_feat, mat_diff_loss_scale=0.001):
+def pointseg_loss(log_probs, target, trans_feat, mat_diff_loss_scale=0.001,
+                  sample_weights=None, trans_weights=None):
     """NLL + orthogonality regularizer (`pointseg.py:170-177` get_loss).
 
     log_probs (M, C), target (M,) int -> scalar.
+    sample_weights (M,) / trans_weights (B,): masked means for padded
+    proposal slots (see SkipPropagation.slot_mask).
     """
-    nll = -jnp.mean(
-        jnp.take_along_axis(log_probs, target[:, None].astype(jnp.int32), axis=1)
-    )
-    return nll + feature_transform_regularizer(trans_feat) * mat_diff_loss_scale
+    per = -jnp.take_along_axis(
+        log_probs, target[:, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    if sample_weights is None:
+        nll = jnp.mean(per)
+    else:
+        nll = jnp.sum(per * sample_weights) / jnp.maximum(
+            jnp.sum(sample_weights), 1e-6
+        )
+    reg = feature_transform_regularizer(trans_feat, trans_weights)
+    return nll + reg * mat_diff_loss_scale

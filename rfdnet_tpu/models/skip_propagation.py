@@ -39,12 +39,17 @@ class SkipPropagation(nn.Module):
 
     def _run(self, box_xyz, box_orientations, box_feature, input_point_cloud,
              point_instance_labels, proposal_instance_labels, train,
-             bn_momentum):
+             bn_momentum, slot_mask=None):
         """Shared forward. Returns (features (B, P, c_dim), mask_loss or None).
 
         box_xyz (B, P, 3), box_orientations (B, P),
         box_feature (B, P, 128), input_point_cloud (B, N, 3+F),
         point_instance_labels (B, N) or None.
+
+        slot_mask: optional (B, P) validity — padded proposal slots are
+        excluded from the mask loss (the reference gathers only valid
+        proposals dynamically, `network.py:97-128`; the TPU build keeps
+        static shapes and masks instead).
         """
         xyz = input_point_cloud[..., 0:3]
         feat = input_point_cloud[..., 3 : 3 + self.input_feature_dim]
@@ -76,9 +81,22 @@ class SkipPropagation(nn.Module):
         )  # (B*P, S, 2)
         seg_flat = seg_pred.reshape(B * P * S, 2)
         if point_instance_labels is not None:
-            mask_loss = pointseg_loss(
-                seg_flat, instance_point_masks.astype(jnp.int32), trans_feat
-            )
+            if slot_mask is None:
+                mask_loss = pointseg_loss(
+                    seg_flat, instance_point_masks.astype(jnp.int32),
+                    trans_feat,
+                )
+            else:
+                mask_loss = pointseg_loss(
+                    seg_flat, instance_point_masks.astype(jnp.int32),
+                    trans_feat,
+                    sample_weights=jnp.repeat(
+                        slot_mask.reshape(B * P).astype(jnp.float32), S
+                    ),
+                    trans_weights=slot_mask.reshape(B * P).astype(
+                        jnp.float32
+                    ),
+                )
 
         box_feat = jnp.broadcast_to(
             box_feature.reshape(B * P, 1, -1),
@@ -94,10 +112,12 @@ class SkipPropagation(nn.Module):
 
     def __call__(self, box_xyz, box_orientations, box_feature,
                  input_point_cloud, point_instance_labels,
-                 proposal_instance_labels, train: bool, bn_momentum=None):
+                 proposal_instance_labels, train: bool, bn_momentum=None,
+                 slot_mask=None):
         return self._run(
             box_xyz, box_orientations, box_feature, input_point_cloud,
-            point_instance_labels, proposal_instance_labels, train, bn_momentum,
+            point_instance_labels, proposal_instance_labels, train,
+            bn_momentum, slot_mask=slot_mask,
         )
 
     def generate(self, box_xyz, box_orientations, box_feature,

@@ -35,6 +35,129 @@ def _bare_pkg(name: str, path: str | None):
     return m
 
 
+def _make_cpu_ext(torch):
+    """CPU-correct `pointnet2_ops._ext`: the 9 kernel entry points the
+    reference's autograd.Function wrappers call, with the CUDA kernels'
+    exact semantics:
+
+    - furthest_point_sampling: first index 0; candidates with
+      ||p||^2 <= 1e-3 are EXCLUDED from the max (`sampling_gpu.cu:101`
+      `continue` skips them in the reduction);
+    - ball_query: scan in index order, strict d2 < r^2, first-hit fills
+      all slots before counting (`ball_query_gpu.cu:27-41`);
+    - three_nn: 3 smallest distances, earliest index wins ties (strict
+      `<` insertion, `interpolate_gpu.cu:33-48`).
+    """
+    ext = types.ModuleType("pointnet2_ops._ext")
+
+    def furthest_point_sampling(xyz, npoint):
+        pts = xyz.detach().cpu().numpy().astype(np.float32)
+        B, N, _ = pts.shape
+        out = np.zeros((B, npoint), dtype=np.int32)
+        for b in range(B):
+            p = pts[b]
+            cand = np.sum(p * p, axis=1) > 1e-3
+            mind = np.full(N, 1e10, dtype=np.float32)
+            cur = 0
+            for i in range(1, npoint):
+                d = np.sum((p - p[cur]) ** 2, axis=1, dtype=np.float32)
+                mind = np.minimum(mind, d)
+                cur = int(np.argmax(np.where(cand, mind, -1.0)))
+                out[b, i] = cur
+        return torch.from_numpy(out)
+
+    def gather_points(features, idx):
+        # (B, C, N), (B, m) int -> (B, C, m)
+        return torch.gather(
+            features, 2,
+            idx.long().unsqueeze(1).expand(-1, features.shape[1], -1),
+        )
+
+    def gather_points_grad(grad_out, idx, N):
+        B, C, m = grad_out.shape
+        g = grad_out.new_zeros(B, C, N)
+        g.scatter_add_(
+            2, idx.long().unsqueeze(1).expand(-1, C, -1), grad_out
+        )
+        return g
+
+    def _d2(a, b, chunk=512):
+        # exact (a-b)^2 sums like the CUDA kernels (cdist's matmul
+        # expansion rounds differently and can flip radius tests / NN
+        # weights); chunked over a's second dim to bound memory
+        if a.shape[1] == 0:
+            return a.new_zeros(a.shape[0], 0, b.shape[1])
+        parts = []
+        for i in range(0, a.shape[1], chunk):
+            diff = a[:, i : i + chunk, None, :] - b[:, None, :, :]
+            parts.append((diff * diff).sum(-1))
+        return torch.cat(parts, dim=1)  # (B, m, n)
+
+    def ball_query(new_xyz, xyz, radius, nsample):
+        # (B, m, 3), (B, n, 3) -> (B, m, nsample) int32
+        d2 = _d2(new_xyz, xyz)  # (B, m, n)
+        inside = d2 < radius * radius
+        B, m, n = inside.shape
+        # stable sort: inside indices first, in index order
+        order = torch.argsort((~inside).to(torch.int8), dim=2, stable=True)
+        idx = order[:, :, :nsample].clone()
+        cnt = inside.sum(dim=2, keepdim=True)  # (B, m, 1)
+        pos = torch.arange(nsample).view(1, 1, -1)
+        first = idx[:, :, :1].expand(-1, -1, nsample)
+        idx = torch.where(pos < cnt, idx, first)
+        # no hit at all: the cpp wrapper zero-initialises the output
+        # (`ball_query.cpp:20`), so empty neighborhoods stay index 0
+        idx = torch.where(cnt > 0, idx, torch.zeros_like(idx))
+        return idx.int()
+
+    def group_points(features, idx):
+        # (B, C, N), (B, np, ns) -> (B, C, np, ns)
+        B, C, N = features.shape
+        _, npnt, ns = idx.shape
+        flat = idx.long().view(B, 1, npnt * ns).expand(-1, C, -1)
+        return torch.gather(features, 2, flat).view(B, C, npnt, ns)
+
+    def group_points_grad(grad_out, idx, N):
+        B, C, npnt, ns = grad_out.shape
+        g = grad_out.new_zeros(B, C, N)
+        flat = idx.long().view(B, 1, npnt * ns).expand(-1, C, -1)
+        g.scatter_add_(2, flat, grad_out.reshape(B, C, npnt * ns))
+        return g
+
+    def three_nn(unknown, known):
+        d2 = _d2(unknown, known)  # (B, n, m)
+        order = torch.argsort(d2, dim=2, stable=True)[:, :, :3]
+        dist2 = torch.gather(d2, 2, order)
+        return dist2, order.int()
+
+    def three_interpolate(features, idx, weight):
+        # (B, c, m), (B, n, 3), (B, n, 3) -> (B, c, n)
+        B, c, m = features.shape
+        n = idx.shape[1]
+        flat = idx.long().view(B, 1, n * 3).expand(-1, c, -1)
+        gathered = torch.gather(features, 2, flat).view(B, c, n, 3)
+        return (gathered * weight.unsqueeze(1)).sum(dim=3)
+
+    def three_interpolate_grad(grad_out, idx, weight, m):
+        B, c, n = grad_out.shape
+        g = grad_out.new_zeros(B, c, m)
+        contrib = grad_out.unsqueeze(-1) * weight.unsqueeze(1)  # (B,c,n,3)
+        flat = idx.long().view(B, 1, n * 3).expand(-1, c, -1)
+        g.scatter_add_(2, flat, contrib.reshape(B, c, n * 3))
+        return g
+
+    ext.furthest_point_sampling = furthest_point_sampling
+    ext.gather_points = gather_points
+    ext.gather_points_grad = gather_points_grad
+    ext.ball_query = ball_query
+    ext.group_points = group_points
+    ext.group_points_grad = group_points_grad
+    ext.three_nn = three_nn
+    ext.three_interpolate = three_interpolate
+    ext.three_interpolate_grad = three_interpolate_grad
+    return ext
+
+
 _installed = False
 
 
@@ -99,71 +222,23 @@ def install_reference():
     _bare_pkg("external.pyTorchChamferDistance", None)
     sys.modules["external.pyTorchChamferDistance.chamfer_distance"] = cham
 
-    # pointnet2 CUDA ops: the modules below import these names at module
-    # scope. furthest_point_sample gets a CPU-correct implementation
-    # (including the reference kernel's ||p||^2<=1e-3 skip,
-    # `sampling_gpu.cu:101`); the SA/FP wrappers are constructible but
-    # raise if actually run.
-    p2u = types.ModuleType(
-        "external.pointnet2_ops_lib.pointnet2_ops.pointnet2_utils"
+    # pointnet2 CUDA ops: `pointnet2_utils.py` does `import
+    # pointnet2_ops._ext` and falls back to JIT-compiling the CUDA
+    # sources (impossible here). Pre-seeding `pointnet2_ops._ext` with
+    # CPU-correct implementations of the 9 kernel entry points lets the
+    # reference's REAL wrapper modules (`pointnet2_utils.py`,
+    # `pointnet2_modules.py` — QueryAndGroup, PointnetSAModuleVotes,
+    # PointnetFPModule, STN_Group...) import and run unmodified on CPU,
+    # which is what full-composite ISCNet parity requires.
+    p2_pkg = _bare_pkg("pointnet2_ops", None)
+    p2_pkg._ext = sys.modules["pointnet2_ops._ext"] = _make_cpu_ext(torch)
+    _bare_pkg(
+        "external.pointnet2_ops_lib", REF + "/external/pointnet2_ops_lib"
     )
-
-    def furthest_point_sample(xyz, npoint):
-        pts = xyz.detach().cpu().numpy()
-        B, N, _ = pts.shape
-        out = np.zeros((B, npoint), dtype=np.int64)
-        for b in range(B):
-            p = pts[b]
-            mind = np.full(N, 1e10, dtype=np.float64)
-            cur = 0
-            out[b, 0] = 0
-            for i in range(1, npoint):
-                d = np.sum((p - p[cur]) ** 2, axis=1)
-                mag = np.sum(p * p, axis=1)
-                upd = mag > 1e-3
-                mind[upd] = np.minimum(mind[upd], d[upd])
-                cur = int(np.argmax(mind))
-                out[b, i] = cur
-        return torch.from_numpy(out.astype(np.int32))
-
-    def gather_operation(features, idx):
-        # features (B, C, N), idx (B, m) -> (B, C, m)
-        idx = idx.long()
-        return torch.gather(
-            features, 2, idx.unsqueeze(1).expand(-1, features.shape[1], -1)
-        )
-
-    p2u.furthest_point_sample = furthest_point_sample
-    p2u.gather_operation = gather_operation
-
-    p2m = types.ModuleType(
-        "external.pointnet2_ops_lib.pointnet2_ops.pointnet2_modules"
+    _bare_pkg(
+        "external.pointnet2_ops_lib.pointnet2_ops",
+        REF + "/external/pointnet2_ops_lib/pointnet2_ops",
     )
-
-    class _Inert(torch.nn.Module):
-        def __init__(self, *a, **k):
-            super().__init__()
-
-        def forward(self, *a, **k):  # pragma: no cover
-            raise NotImplementedError("CUDA-only module stub")
-
-    for name in (
-        "PointnetSAModuleVotes",
-        "PointnetSAModuleMSG",
-        "PointnetSAModule",
-        "PointnetFPModule",
-        "STN_Group",
-        "STN3d",
-    ):
-        setattr(p2m, name, type(name, (_Inert,), {}))
-    _bare_pkg("external.pointnet2_ops_lib", None)
-    _bare_pkg("external.pointnet2_ops_lib.pointnet2_ops", None)
-    sys.modules[
-        "external.pointnet2_ops_lib.pointnet2_ops.pointnet2_utils"
-    ] = p2u
-    sys.modules[
-        "external.pointnet2_ops_lib.pointnet2_ops.pointnet2_modules"
-    ] = p2m
 
     # plyfile: utils/scannet/scannet_utils.py sys.exits without it; only
     # used for PLY I/O we never invoke
