@@ -77,6 +77,10 @@ _DEFAULTS: dict[str, Any] = {
         "generate_mesh": True, "resolution_0": 32, "upsampling_steps": 0,
         "use_sampling": False, "refinement_step": 0, "simplify_nfaces": None,
         "dump_threshold": 0.5, "dump_results": False,
+        # occupancy-decode implementation: None picks by numerics config
+        # (fused bf16 Pallas kernel only when data.decoder_bf16 opted in);
+        # "pallas" | "flax" force it (serving mode / f32-parity mode)
+        "decoder_impl": None,
     },
     "log": {"vis_path": "visualization", "save_results": True,
             "vis_step": 100, "print_step": 10, "path": "out/iscnet"},

@@ -81,8 +81,22 @@ class Tester:
         )
         # fused Pallas decoder chain on TPU (ops/cbn_decoder.py, 2.3x the
         # unfused f32 decode); the flax chain elsewhere (the kernel only
-        # interprets off-TPU, which is far slower than XLA CPU)
-        impl = "pallas" if jax.default_backend() == "tpu" else None
+        # interprets off-TPU, which is far slower than XLA CPU).
+        # Numerics-gated (ADVICE r2): the kernel runs bf16-operand
+        # matmuls, so it is the default ONLY when the config opted into
+        # bf16 decode (`data.decoder_bf16`); `generation.decoder_impl`
+        # ("pallas" | "flax") overrides either way, keeping f32-parity
+        # protocol runs possible on TPU.
+        impl_cfg = gen_cfg.get("decoder_impl")
+        if impl_cfg is not None:
+            impl = impl_cfg if impl_cfg != "flax" else None
+        else:
+            impl = (
+                "pallas"
+                if jax.default_backend() == "tpu"
+                and cfg.config["data"].get("decoder_bf16")
+                else None
+            )
         self._gen_fn = jax.jit(
             partial(
                 self._apply_generate,
@@ -99,11 +113,15 @@ class Tester:
             )
         )
         # f16 at the jit boundary: transfer-only quantization of the
-        # chunked MISE logits (decoder math stays f32)
+        # chunked MISE logits (decoder math stays f32); clipped to the
+        # f16 finite range so extreme logits can't overflow to inf and
+        # NaN marching-cubes interpolation
         decode = jax.jit(
-            lambda f, c, p: model.apply(
-                variables, f, c, p, method=ISCNet.decode_occupancy,
-                mutable=False, rng=z_rng, impl=impl,
+            lambda f, c, p: jnp.clip(
+                model.apply(
+                    variables, f, c, p, method=ISCNet.decode_occupancy,
+                    mutable=False, rng=z_rng, impl=impl,
+                ), -6e4, 6e4,
             ).astype("float16")
         )
         # gradient-capable decode for refine_mesh / estimate_normals

@@ -266,7 +266,10 @@ class MiseNative:
         return out
 
     def __del__(self):
-        h, self._h = self._h, None
+        # getattr: __init__ may have raised before _h/_lib were assigned
+        # (e.g. get_lib() failure — the case _make_tree's fallback catches)
+        h = getattr(self, "_h", None)
+        self._h = None
         if h:
             self._lib.mise_destroy(h)
 
