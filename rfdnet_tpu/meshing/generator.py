@@ -40,7 +40,8 @@ class Generator3D:
                  upsampling_steps=0, padding=0.1, points_batch_size=100000,
                  refinement_step=0, simplify_nfaces=None,
                  extractor="marching_cubes", with_normals=False,
-                 decode_fn_grad=None):
+                 decode_fn_grad=None, mise_impl="device",
+                 mise_budgets=None):
         """decode_fn: (features (Nb, c), cls_codes (Nb, nc), points
         (Nb, T, 3)) -> logits (Nb, T) — e.g. a jitted partial of
         ISCNet.decode_occupancy.
@@ -69,6 +70,15 @@ class Generator3D:
         self.refinement_step = refinement_step
         self.simplify_nfaces = simplify_nfaces
         self.with_normals = with_normals
+        # MISE implementation: "device" runs the whole octree refinement
+        # as ONE jitted program (mise_device.py — no per-round query
+        # uploads / logit downloads; budget overflow falls back to the
+        # host octree), "host" always drives the C++/python octree with
+        # chunked decoder calls (the reference's structure,
+        # `generator.py:78-121`)
+        self.mise_impl = mise_impl
+        self.mise_budgets = mise_budgets
+        self._mise_device_fn = None
         self.extract_fn = {
             "marching_cubes": marching_cubes,
             "marching_tetrahedra": marching_tetrahedra,
@@ -91,10 +101,47 @@ class Generator3D:
             logits = np.asarray(self.decode_fn(features, cls_codes, pts_b))
             grids = logits.reshape(Nb, nx, nx, nx)
         else:
-            grids = self._mise_grids(features, cls_codes)
+            grids = None
+            if self.mise_impl == "device":
+                try:
+                    grids = self._mise_grids_device(features, cls_codes)
+                except Exception as e:  # non-traceable decode_fn etc.
+                    if not getattr(self, "_mise_device_warned", False):
+                        self._mise_device_warned = True
+                        print(f"[generator] device MISE unavailable "
+                              f"({type(e).__name__}: {e}); host octree")
+                    self.mise_impl = "host"
+            if grids is None:
+                grids = self._mise_grids(features, cls_codes)
         return self.meshes_from_grids(
             grids, valid=valid, features=features, cls_codes=cls_codes
         )
+
+    def _mise_grids_device(self, features, cls_codes):
+        """One-dispatch device MISE; None on budget overflow (caller
+        falls back to the host octree for exactness)."""
+        import jax
+
+        from .mise_device import make_mise_device
+
+        if self._mise_device_fn is None:
+            budgets = self.mise_budgets
+            if budgets is None:
+                budgets = [
+                    min((self.resolution0 * 2**l) ** 3,
+                        (self.resolution0 * 2**l) ** 2 * 4)
+                    for l in range(self.upsampling_steps)
+                ]
+            self._mise_budgets_eff = budgets
+            self._mise_device_fn = jax.jit(make_mise_device(
+                self.decode_fn, self.resolution0, self.upsampling_steps,
+                self.threshold, self.padding, budgets=budgets,
+            ))
+        grids, counts = self._mise_device_fn(features, cls_codes)
+        counts = np.asarray(counts)
+        if (counts > np.asarray(self._mise_budgets_eff)[None, :]).any():
+            return None
+        return np.asarray(grids).astype(np.float32)
 
     def meshes_from_grids(self, grids, valid=None, features=None,
                           cls_codes=None):
@@ -162,17 +209,24 @@ class Generator3D:
         Vb = _bucket_pow2(V)
         pts = np.zeros((Vb, 3), np.float32)
         pts[:V] = vertices
-        decode = self.decode_fn_grad
 
-        @partial(jax.jit, static_argnums=())
-        def grads(feature, cls_code, pts):
-            def total(p):
-                return jnp.sum(
-                    decode(feature[None], cls_code[None], p[None])[0]
-                    .astype(jnp.float32)
-                )
+        # one jitted vjp with a stable identity across calls (a fresh
+        # closure per call would retrace every mesh despite the pow2
+        # bucketing — ADVICE r2); cached on self, compiled per bucket size
+        grads = getattr(self, "_grads_fn", None)
+        if grads is None:
+            decode = self.decode_fn_grad
 
-            return jax.grad(total)(pts)
+            def _grads(feature, cls_code, pts):
+                def total(p):
+                    return jnp.sum(
+                        decode(feature[None], cls_code[None], p[None])[0]
+                        .astype(jnp.float32)
+                    )
+
+                return jax.grad(total)(pts)
+
+            grads = self._grads_fn = jax.jit(_grads)
 
         g = np.asarray(grads(
             jnp.asarray(feature), jnp.asarray(cls_code), jnp.asarray(pts)

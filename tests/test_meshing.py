@@ -92,6 +92,94 @@ class TestMISE:
             oracle = sphere_logit(pts, center=centers[i])
             np.testing.assert_array_equal(grids[i] >= 0, oracle >= 0)
 
+    def test_device_mise_matches_host_octree(self):
+        """The one-dispatch device MISE (mise_device.py) with budgets
+        covering every active voxel reproduces the host octree's grids
+        EXACTLY — same refined point set, same values, same ancestor
+        fill."""
+        import jax
+        import jax.numpy as jnp
+
+        from rfdnet_tpu.meshing.mise_device import make_mise_device
+
+        centers = np.array(
+            [[0.1, 0.0, 0.0], [-0.1, 0.05, 0.0]], np.float32
+        )
+
+        def decode_np(features, cls_codes, pts):
+            return np.stack(
+                [sphere_logit(np.asarray(pts)[i], center=np.asarray(features)[i])
+                 for i in range(len(features))]
+            ).astype(np.float32)
+
+        def decode_jnp(features, cls_codes, pts):
+            d = jnp.linalg.norm(
+                pts - features[:, None, :], axis=-1
+            )
+            return 40.0 * (0.35 - d)
+
+        host = mise_value_grids(
+            decode_np, centers, np.zeros((2, 8), np.float32),
+            resolution_0=8, upsampling_steps=2, threshold=0.5, padding=0.1,
+        )
+        fn = make_mise_device(
+            decode_jnp, resolution_0=8, upsampling_steps=2, threshold=0.5,
+            padding=0.1, out_dtype=jnp.float32,
+        )
+        grids, counts = jax.jit(fn)(
+            jnp.asarray(centers), jnp.zeros((2, 8), jnp.float32)
+        )
+        assert np.asarray(counts).max() > 0
+        np.testing.assert_allclose(
+            np.asarray(grids), host, atol=1e-5, rtol=1e-6
+        )
+
+    def test_device_mise_overflow_reported(self):
+        """Budgets smaller than the active count are reported via the
+        counts output (the caller's fallback trigger)."""
+        import jax
+        import jax.numpy as jnp
+
+        from rfdnet_tpu.meshing.mise_device import make_mise_device
+
+        def decode_jnp(features, cls_codes, pts):
+            d = jnp.linalg.norm(pts - features[:, None, :], axis=-1)
+            return 40.0 * (0.35 - d)
+
+        fn = make_mise_device(
+            decode_jnp, resolution_0=8, upsampling_steps=1, threshold=0.5,
+            padding=0.1, budgets=[4], out_dtype=jnp.float32,
+        )
+        _, counts = jax.jit(fn)(
+            jnp.zeros((1, 3), jnp.float32), jnp.zeros((1, 8), jnp.float32)
+        )
+        assert int(np.asarray(counts)[0, 0]) > 4
+
+    def test_generator_device_mise_meshes_match_host(self):
+        """Generator3D(mise_impl='device') produces the same meshes as
+        the host-octree path (same grids => same marching cubes)."""
+        import jax.numpy as jnp
+
+        from rfdnet_tpu.meshing.generator import Generator3D
+
+        def decode_jnp(features, cls_codes, pts):
+            d = jnp.linalg.norm(pts - features[:, None, :], axis=-1)
+            return 40.0 * (0.35 - d)
+
+        feats = np.array([[0.1, 0.0, 0.0], [-0.1, 0.05, 0.0]], np.float32)
+        cls = np.zeros((2, 8), np.float32)
+        kw = dict(resolution0=8, upsampling_steps=2)
+        g_dev = Generator3D(decode_jnp, mise_impl="device", **kw)
+        g_host = Generator3D(decode_jnp, mise_impl="host", **kw)
+        m_dev = g_dev.generate_meshes(feats, cls)
+        m_host = g_host.generate_meshes(feats, cls)
+        assert g_dev.mise_impl == "device"  # no silent fallback
+        for a, b in zip(m_dev, m_host):
+            np.testing.assert_allclose(
+                a.vertices, b.vertices, atol=1e-4
+            )
+            np.testing.assert_array_equal(a.faces, b.faces)
+
     def test_native_octree_matches_python_oracle(self):
         """The C++ MISE octree (meshing.cpp mise_*, the production path
         of `_make_tree`) must replay the Python MISE class exactly:
