@@ -50,6 +50,16 @@ def _first_k_true(flat: jax.Array, k: int):
     return idx, flat[idx]
 
 
+def _offsets(s: int) -> np.ndarray:
+    """27-point child lattice offsets for a voxel of side s."""
+    h = s // 2
+    return np.array(
+        [[a, b, c] for a in (0, h, s) for b in (0, h, s)
+         for c in (0, h, s)],
+        dtype=np.int32,
+    )
+
+
 def _active_voxels(values, known, n, s, logit_thresh):
     """Mixed-sign fully-known voxels at stride s ((n+1)^3 corner grid)."""
     v = values[::s, ::s, ::s]
@@ -74,6 +84,7 @@ def make_mise_device(
     budgets: Sequence[int] | None = None,
     out_dtype=jnp.float16,
     chunk_t: int = 36_000,
+    output: str = "dense",
 ):
     """Build the jittable one-dispatch MISE evaluator.
 
@@ -82,10 +93,20 @@ def make_mise_device(
     budgets: per-level max refined voxels; default n_l^2 * 8 (a generous
       surface-shell bound: a flat surface crosses ~n^2 voxels).
 
-    Returns fn(features, cls_codes) -> (grids (Nb, R+1, R+1, R+1)
-    out_dtype, active_counts (Nb, steps) int32). Compare active_counts
-    against the budgets to detect overflow.
-    """
+    output="dense": fn(features, cls_codes) -> (grids
+    (Nb, R+1, R+1, R+1) out_dtype, active_counts (Nb, steps) int32).
+    Compare active_counts against the budgets to detect overflow.
+
+    output="sparse": fn -> (lvl0 (Nb, n0+1, n0+1, n0+1) out_dtype,
+    [(idx_l (Nb, K_l) int32, vals_l (Nb, K_l, 27) out_dtype)...],
+    counts (Nb, steps) int32) — exactly the values the program decoded,
+    in budget-compact per-level form, WITHOUT materializing the dense
+    grid in the outputs. The caller reconstructs the dense grid with
+    `reconstruct_dense` (bit-identical: the ancestor-fill rule is
+    deterministic) after downloading ~the decoded values instead of the
+    (R+1)^3 grid — on a bandwidth-starved host link the dense download
+    dominates everything else (measured 7.4 s for 64x65^3 f16 vs 0.22 s
+    of device compute)."""
     res0 = int(resolution_0)
     steps = int(upsampling_steps)
     R = res0 * 2**steps
@@ -96,18 +117,16 @@ def make_mise_device(
                    for l in range(steps)]
     budgets = [int(b) for b in budgets]
 
-    # 27-point child lattice offsets, filled per level with stride s
-    def _offsets(s):
-        h = s // 2
-        return np.array(
-            [[a, b, c] for a in (0, h, s) for b in (0, h, s)
-             for c in (0, h, s)],
-            dtype=np.int32,
-        )
-
     ax0 = np.arange(0, R + 1, 2**steps, dtype=np.int32)
     gx, gy, gz = np.meshgrid(ax0, ax0, ax0, indexing="ij")
     lvl0_pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)  # (n0,3)
+
+    def _narrow(x):
+        # f16 finite range: extreme logits must not become inf (inf
+        # corners NaN marching-cubes interpolation)
+        if out_dtype == jnp.float16:
+            x = jnp.clip(x, -6e4, 6e4)
+        return x.astype(out_dtype)
 
     def run(features, cls_codes):
         Nb = features.shape[0]
@@ -152,6 +171,7 @@ def make_mise_device(
         ].set(True)
 
         counts = []
+        sparse_levels = []
         # ---------------------------------------------- refinement levels
         for l in range(steps):
             s = 2 ** (steps - l)
@@ -169,11 +189,15 @@ def make_mise_device(
                 kk = idx % n
                 base = jnp.stack([ii, jj, kk], -1) * s  # (K, 3)
                 pts = base[:, None, :] + offs[None, :, :]  # (K, 27, 3)
-                return pts.reshape(K * 27, 3), valid, cnt
+                return pts.reshape(K * 27, 3), idx, valid, cnt
 
-            pts_l, valid_l, cnt_l = jax.vmap(per_prop)(values, known)
+            pts_l, idx_l, valid_l, cnt_l = jax.vmap(per_prop)(values, known)
             counts.append(cnt_l)
             v_l = decode_lattice(pts_l)
+            if output == "sparse":
+                sparse_levels.append(
+                    (idx_l, _narrow(v_l.reshape(Nb, K, 27)))
+                )
             # invalid slots scatter out of bounds -> dropped
             vmask = jnp.repeat(valid_l, 27, axis=1)
             tgt = jnp.where(vmask[..., None], pts_l, R + 1)
@@ -183,6 +207,11 @@ def make_mise_device(
             known = known.at[
                 bidx, tgt[..., 0], tgt[..., 1], tgt[..., 2]
             ].set(True, mode="drop")
+
+        if output == "sparse":
+            n0 = res0 + 1
+            lvl0 = _narrow(v0.reshape(Nb, n0, n0, n0))
+            return lvl0, sparse_levels, jnp.stack(counts, axis=-1)
 
         # -------------------------------------- ancestor fill (to_dense)
         for l in range(steps):
@@ -199,11 +228,84 @@ def make_mise_device(
             )
             known = known.at[:, ::h, ::h, ::h].set(True)
 
-        if out_dtype == jnp.float16:
-            # f16 finite range: extreme logits must not become inf
-            # (inf corners NaN marching-cubes interpolation)
-            values = jnp.clip(values, -6e4, 6e4)
-        grids = values.astype(out_dtype)
-        return grids, jnp.stack(counts, axis=-1)
+        return _narrow(values), jnp.stack(counts, axis=-1)
 
     return run
+
+
+def make_compactor(K: int, bucket: int):
+    """Jittable cross-proposal compaction of one sparse level.
+
+    (idx (Nb, K) int32, vals (Nb, K, d), counts (Nb,)) ->
+    (gprop (bucket,) int32, gidx (bucket,) int32, gvals (bucket, d),
+    gvalid (bucket,) bool) — the first sum(counts) entries are the
+    valid refined voxels across all proposals in (proposal, index)
+    order. Downloading these bucket-sized buffers replaces the dense
+    grid download; pick bucket as the pow2 cover of sum(counts)."""
+
+    def compact(idx, vals, counts):
+        nb = idx.shape[0]
+        n = nb * K
+        valid = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+        flat = valid.ravel()
+        ar = jnp.arange(n, dtype=jnp.int32)
+        score = jnp.where(flat, n - ar, -1 - ar)
+        _, sel = jax.lax.top_k(score, min(bucket, n))
+        sel = sel.astype(jnp.int32)
+        return (
+            (sel // K).astype(jnp.int32),
+            idx.reshape(n)[sel],
+            vals.reshape(n, -1)[sel],
+            flat[sel],
+        )
+
+    return compact
+
+
+def reconstruct_dense(lvl0, levels, resolution_0: int,
+                      upsampling_steps: int) -> np.ndarray:
+    """Host-side (numpy) dense-grid reconstruction from the sparse
+    outputs: replays the device scatter + ancestor fill exactly.
+
+    lvl0: (Nb, n0+1, n0+1, n0+1); levels: one
+    (gprop (M,), gidx (M,), gvals (M, 27), gvalid (M,)) per refinement
+    level (compacted, `make_compactor`). Returns (Nb, R+1, R+1, R+1)
+    float32 — bit-identical to the device dense output (duplicate
+    scatter targets always carry identical decoded values, because the
+    decoder is a per-point map and both programs round through the same
+    out_dtype)."""
+    lvl0 = np.asarray(lvl0)
+    nb = lvl0.shape[0]
+    res0 = int(resolution_0)
+    steps = int(upsampling_steps)
+    R = res0 * 2**steps
+    values = np.zeros((nb, R + 1, R + 1, R + 1), np.float32)
+    known = np.zeros((nb, R + 1, R + 1, R + 1), bool)
+    s0 = 2**steps
+    values[:, ::s0, ::s0, ::s0] = lvl0.astype(np.float32)
+    known[:, ::s0, ::s0, ::s0] = True
+    for l, (gprop, gidx, gvals, gvalid) in enumerate(levels):
+        s = 2 ** (steps - l)
+        n = res0 * 2**l
+        m = np.asarray(gvalid).astype(bool)
+        gp = np.asarray(gprop)[m]
+        gi = np.asarray(gidx)[m].astype(np.int64)
+        gv = np.asarray(gvals)[m].astype(np.float32)
+        base = (
+            np.stack([gi // (n * n), (gi // n) % n, gi % n], -1) * s
+        )  # (M, 3)
+        pts = base[:, None, :] + _offsets(s)[None]  # (M, 27, 3)
+        values[gp[:, None], pts[..., 0], pts[..., 1], pts[..., 2]] = gv
+        known[gp[:, None], pts[..., 0], pts[..., 1], pts[..., 2]] = True
+    for l in range(steps):
+        s = 2 ** (steps - l)
+        h = s // 2
+        src = ((np.arange(0, R + 1, h) // s) * s).astype(np.int64)
+        coarse = values[
+            :, src[:, None, None], src[None, :, None], src[None, None, :]
+        ]
+        sub = values[:, ::h, ::h, ::h]
+        kn = known[:, ::h, ::h, ::h]
+        values[:, ::h, ::h, ::h] = np.where(kn, sub, coarse)
+        known[:, ::h, ::h, ::h] = True
+    return values

@@ -134,6 +134,53 @@ class TestMISE:
             np.asarray(grids), host, atol=1e-5, rtol=1e-6
         )
 
+    def test_device_mise_sparse_reconstruct_matches_dense(self):
+        """output='sparse' + make_compactor + host reconstruct_dense is
+        bit-identical to the device dense output — the compact download
+        path loses nothing."""
+        import jax
+        import jax.numpy as jnp
+
+        from rfdnet_tpu.meshing.mise_device import (
+            make_compactor,
+            make_mise_device,
+            reconstruct_dense,
+        )
+
+        centers = np.array(
+            [[0.1, 0.0, 0.0], [-0.1, 0.05, 0.0]], np.float32
+        )
+
+        def decode_jnp(features, cls_codes, pts):
+            d = jnp.linalg.norm(pts - features[:, None, :], axis=-1)
+            return 40.0 * (0.35 - d)
+
+        kw = dict(resolution_0=8, upsampling_steps=2, threshold=0.5,
+                  padding=0.1, out_dtype=jnp.float16)
+        dense_fn = jax.jit(make_mise_device(decode_jnp, **kw))
+        sparse_fn = jax.jit(
+            make_mise_device(decode_jnp, output="sparse", **kw)
+        )
+        cls = jnp.zeros((2, 8), jnp.float32)
+        grids, counts_d = dense_fn(jnp.asarray(centers), cls)
+        lvl0, levels, counts_s = sparse_fn(jnp.asarray(centers), cls)
+        np.testing.assert_array_equal(
+            np.asarray(counts_d), np.asarray(counts_s)
+        )
+        compacted = []
+        for l, (idx_l, vals_l) in enumerate(levels):
+            K = idx_l.shape[1]
+            total = int(np.asarray(counts_s)[:, l].sum())
+            bucket = max(1 << (total - 1).bit_length(), 8)
+            out = make_compactor(K, bucket)(
+                idx_l, vals_l, jnp.asarray(counts_s)[:, l]
+            )
+            compacted.append(tuple(np.asarray(x) for x in out))
+        rec = reconstruct_dense(np.asarray(lvl0), compacted, 8, 2)
+        np.testing.assert_array_equal(
+            rec, np.asarray(grids).astype(np.float32)
+        )
+
     def test_device_mise_overflow_reported(self):
         """Budgets smaller than the active count are reported via the
         counts output (the caller's fallback trigger)."""

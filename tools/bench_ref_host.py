@@ -50,9 +50,9 @@ def build_scene(rng, K=256, N=80000, num_class=8, nh=12, ns=8, M=64):
         "center": t(rng.randn(1, K, 3) * 1.5),
         "objectness_scores": t(rng.randn(1, K, 2)),
         "heading_scores": t(rng.randn(1, K, nh)),
-        "heading_residuals": t(rng.randn(1, K, nh) * 0.1),
+        "heading_residuals_normalized": t(rng.randn(1, K, nh) * 0.1),
         "size_scores": t(rng.randn(1, K, ns)),
-        "size_residuals": t(rng.randn(1, K, ns, 3) * 0.1),
+        "size_residuals_normalized": t(rng.randn(1, K, ns, 3) * 0.1),
         "sem_cls_scores": t(rng.randn(1, K, num_class)),
     }
     data = {
