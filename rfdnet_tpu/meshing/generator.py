@@ -104,7 +104,18 @@ class Generator3D:
             grids = None
             if self.mise_impl == "device":
                 try:
-                    grids = self._mise_grids_device(features, cls_codes)
+                    handle = self.start_grids_device(features, cls_codes)
+                    if self.extract_fn is marching_cubes:
+                        # sparse-direct extraction (no dense grid at all)
+                        meshes = self.finish_meshes_device(
+                            handle, valid=valid, features=features,
+                            cls_codes=cls_codes,
+                        )
+                        if meshes is not None:
+                            return meshes
+                        self._warn_overflow(handle)
+                    else:
+                        grids = self.finish_grids_device(handle)
                 except Exception as e:  # non-traceable decode_fn etc.
                     if not getattr(self, "_mise_device_warned", False):
                         self._mise_device_warned = True
@@ -116,6 +127,16 @@ class Generator3D:
         return self.meshes_from_grids(
             grids, valid=valid, features=features, cls_codes=cls_codes
         )
+
+    def _warn_overflow(self, handle):
+        counts = handle["counts"]
+        over = int(
+            (counts > np.asarray(self._mise_budgets_eff)[None, :])
+            .any(1).sum()
+        )
+        print(f"[generator] device MISE budget overflow on {over} "
+              f"proposal(s) (counts max {counts.max(0)}, budgets "
+              f"{self._mise_budgets_eff}); host-octree fallback")
 
     def _mise_device_setup(self):
         import jax
@@ -138,24 +159,36 @@ class Generator3D:
             ))
             self._mise_compactors = {}
 
+    def dispatch_octree(self, features, cls_codes):
+        """Async phase 0 of the device MISE: launch the one-dispatch
+        octree program and return its (device-resident) outputs without
+        syncing — callers pipeline this under the previous scene's host
+        work (bench serving pattern)."""
+        self._mise_device_setup()
+        return self._mise_device_fn(features, cls_codes)
+
     def start_grids_device(self, features, cls_codes):
         """Phase 1 of the device MISE: dispatch the octree program, pick
         download buckets from the active counts, dispatch the per-level
         compaction programs, and start all device->host copies. Returns
-        an opaque handle for `finish_grids_device` — callers can overlap
-        the downloads with host work on the previous scene (the bench's
-        pipelined serving pattern).
+        an opaque handle for `finish_grids_device` / `finish_meshes_device`
+        — callers can overlap the downloads with host work on the
+        previous scene (the bench's pipelined serving pattern).
 
         Downloading the compact decoded values instead of the dense
         (R+1)^3 grid is the difference between ~0.7 MB and 35 MB per
         64-proposal scene; the dense download alone took 7.4 s on the
         measured 4.7 MB/s host link vs 0.22 s of device compute."""
+        return self.compact_octree(self.dispatch_octree(features, cls_codes))
+
+    def compact_octree(self, raw):
+        """Phase 1b: sync on the octree counts, dispatch the per-level
+        compaction programs, start device->host copies."""
         import jax
 
         from .mise_device import make_compactor
 
-        self._mise_device_setup()
-        lvl0, levels, counts = self._mise_device_fn(features, cls_codes)
+        lvl0, levels, counts = raw
         counts_np = np.asarray(counts)  # syncs on the octree program
         compacted = []
         for l, (idx_l, vals_l) in enumerate(levels):
@@ -210,6 +243,71 @@ class Generator3D:
             self.start_grids_device(features, cls_codes)
         )
 
+    def finish_meshes_device(self, handle, valid=None, features=None,
+                             cls_codes=None):
+        """Phase 2 (fast path): marching cubes straight from the sparse
+        downloads — the C++ core rebuilds each proposal's lattice and
+        visits only the cells that can carry an iso crossing (refined
+        voxels + one-ring + boundary), byte-identical to extracting the
+        dense reconstruction. Skips the (Nb, R+1, R+1, R+1) numpy
+        materialization AND the full-grid cell scan that dominated the
+        MISE path's host time (measured 0.5 s + 0.36 s per 64-proposal
+        scene vs 0.15 s of device compute). None on budget overflow —
+        the caller falls back to the exact host octree."""
+        from .mesh import TriMesh
+        from .native import mise_marching_cubes
+
+        counts = handle["counts"]
+        if (counts > np.asarray(self._mise_budgets_eff)[None, :]).any():
+            return None
+        levels = [
+            tuple(np.asarray(x) for x in lv) for lv in handle["levels"]
+        ]
+        lvl0 = np.asarray(handle["lvl0"]).astype(np.float32)
+        Nb = lvl0.shape[0]
+        R = self.resolution0 * 2**self.upsampling_steps
+        box_size = 1 + self.padding
+        iso = np.log(self.threshold) - np.log(1.0 - self.threshold)
+        per_prop = []
+        for gprop, gidx, gvals, gvalid in levels:
+            sel = np.asarray(gvalid).astype(bool)
+            gp, gi = gprop[sel], gidx[sel]
+            gv = gvals[sel].astype(np.float32)
+            order = np.argsort(gp, kind="stable")
+            gp, gi, gv = gp[order], gi[order], gv[order]
+            starts = np.searchsorted(gp, np.arange(Nb + 1))
+            per_prop.append((gi, gv, starts))
+
+        def one(i):
+            if valid is not None and not bool(valid[i]):
+                return TriMesh(np.zeros((0, 3)), np.zeros((0, 3)))
+            idx_i, vals_i = [], []
+            for gi, gv, starts in per_prop:
+                lo, hi = starts[i], starts[i + 1]
+                idx_i.append(gi[lo:hi])
+                vals_i.append(gv[lo:hi])
+            verts, tris = mise_marching_cubes(
+                lvl0[i], self.resolution0, self.upsampling_steps,
+                idx_i, vals_i, iso,
+            )
+            if len(verts) == 0:
+                return TriMesh(np.zeros((0, 3)), np.zeros((0, 3)))
+            verts = verts - 1.0
+            verts = verts / R
+            verts = box_size * (verts - 0.5)
+            mesh = TriMesh(verts, tris)
+            return self._simplify(mesh)
+
+        workers = min(8, os.cpu_count() or 1, max(Nb, 1))
+        if workers > 1 and Nb > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(workers) as pool:
+                meshes = list(pool.map(one, range(Nb)))
+        else:
+            meshes = [one(i) for i in range(Nb)]
+        return self._postprocess(meshes, valid, features, cls_codes)
+
     def meshes_from_grids(self, grids, valid=None, features=None,
                           cls_codes=None):
         """Host-side half of generate_meshes: surface extraction (plus
@@ -227,15 +325,7 @@ class Generator3D:
         def one(i):
             if valid is not None and not bool(valid[i]):
                 return TriMesh(np.zeros((0, 3)), np.zeros((0, 3)))
-            mesh = self.extract_mesh(grids[i])
-            if self.simplify_nfaces and len(mesh.faces) > self.simplify_nfaces:
-                from .native import simplify_mesh
-
-                sv, st = simplify_mesh(
-                    mesh.vertices, mesh.faces, self.simplify_nfaces, 5.0
-                )  # aggressiveness per `generator.py:191`
-                mesh = TriMesh(sv, st)
-            return mesh
+            return self._simplify(self.extract_mesh(grids[i]))
 
         n = grids.shape[0]
         workers = min(8, os.cpu_count() or 1, max(n, 1))
@@ -246,6 +336,19 @@ class Generator3D:
                 meshes = list(pool.map(one, range(n)))
         else:
             meshes = [one(i) for i in range(n)]
+        return self._postprocess(meshes, valid, features, cls_codes)
+
+    def _simplify(self, mesh):
+        if self.simplify_nfaces and len(mesh.faces) > self.simplify_nfaces:
+            from .native import simplify_mesh
+
+            sv, st = simplify_mesh(
+                mesh.vertices, mesh.faces, self.simplify_nfaces, 5.0
+            )  # aggressiveness per `generator.py:191`
+            mesh = TriMesh(sv, st)
+        return mesh
+
+    def _postprocess(self, meshes, valid, features, cls_codes):
         if self.refinement_step:
             meshes = [
                 m if (valid is not None and not bool(valid[i]))

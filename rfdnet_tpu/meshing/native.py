@@ -84,6 +84,15 @@ def get_lib() -> ctypes.CDLL:
         lib.mise_to_dense.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
         ]
+        lib.mise_mc_extract.restype = ctypes.c_int
+        lib.mise_mc_extract.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
         _lib = lib
         return lib
 
@@ -175,6 +184,51 @@ def marching_cubes(grid: np.ndarray, iso: float):
     cubes (watertight). Same (verts, tris) contract as
     marching_tetrahedra; ~2.5x fewer triangles for the same field."""
     return _extract("mc_extract", grid, iso)
+
+
+def mise_marching_cubes(lvl0: np.ndarray, resolution_0: int,
+                        upsampling_steps: int, level_idx, level_vals,
+                        iso: float, pad_val: float = -1e6):
+    """Marching cubes straight from ONE proposal's device-MISE sparse
+    outputs (meshing/mise_device.py): no dense-grid reconstruction on
+    the Python side, no full-grid cell scan — the C++ core rebuilds the
+    lattice, marks only the cells that can carry an iso crossing
+    (refined voxels + their one-ring + the padded boundary), and runs
+    the same welded marching cubes over them in dense scan order, so
+    the output is byte-identical to
+    ``marching_cubes(pad(reconstruct_dense(...)), iso)``.
+
+    lvl0: (res0+1,)*3 float; level_idx/level_vals: per refinement level
+    the VALID refined-voxel linear ids (ascending) and (m, 27) values.
+    Returns (verts (V, 3) float64 in padded index space, tris (T, 3)).
+    """
+    lib = get_lib()
+    lvl0 = np.ascontiguousarray(lvl0, dtype=np.float32)
+    counts = np.array([len(i) for i in level_idx], dtype=np.int32)
+    idx = np.ascontiguousarray(
+        np.concatenate([np.asarray(i, np.int32).ravel() for i in level_idx])
+        if len(level_idx) else np.zeros(0, np.int32), dtype=np.int32)
+    vals = np.ascontiguousarray(
+        np.concatenate(
+            [np.asarray(v, np.float32).reshape(-1, 27) for v in level_vals]
+        ) if len(level_vals) else np.zeros((0, 27), np.float32),
+        dtype=np.float32)
+    vp = ctypes.POINTER(ctypes.c_double)()
+    tp = ctypes.POINTER(ctypes.c_int)()
+    nv = ctypes.c_int()
+    nt = ctypes.c_int()
+    lib.mise_mc_extract(
+        _cptr(lvl0, ctypes.c_float), int(resolution_0),
+        int(upsampling_steps), _cptr(idx, ctypes.c_int32),
+        _cptr(vals, ctypes.c_float), _cptr(counts, ctypes.c_int32),
+        ctypes.c_float(iso), ctypes.c_float(pad_val),
+        ctypes.byref(vp), ctypes.byref(tp), ctypes.byref(nv),
+        ctypes.byref(nt),
+    )
+    verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy()
+    tris = np.ctypeslib.as_array(tp, shape=(nt.value, 3)).copy()
+    lib.mesh_free(vp, tp)
+    return verts, tris
 
 
 def voxelize_surface(verts, tris, origin, voxel_size, dims):

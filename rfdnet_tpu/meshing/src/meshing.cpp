@@ -637,4 +637,172 @@ void mise_update(void *h, const int64_t *pts, const double *vals, int n) {
 
 void mise_to_dense(void *h, float *out) { ((MiseTree *)h)->to_dense(out); }
 
+// Marching cubes directly from the device-MISE sparse outputs for ONE
+// proposal — no dense-grid materialization on the Python side. Produces
+// BYTE-IDENTICAL vertices/triangles to `mc_extract` over the
+// -1e6-padded dense reconstruction (meshing/mise_device.py
+// reconstruct_dense -> generator.extract_mesh): the lattice is rebuilt
+// here (scatter + the exact ancestor-fill replay of the device
+// to_dense rule), a one-byte sign is precomputed per padded lattice
+// point, and every padded cell is scanned in the dense loop's
+// lexicographic order — uniform-sign cells cost an 8-byte check, mixed
+// cells run the same welded tessellation — so vertex ids come out
+// equal, not merely equivalent. (A one-ring candidate heuristic is NOT
+// sound here: ancestor fill at finer levels floors odd coordinates
+// back onto decoded face values, propagating them up to 2^steps-1
+// cells beyond a refined block and creating crossings outside any
+// fixed-margin ring.)
+//
+// Inputs: lvl0 = (res0+1)^3 f32 corner lattice (C order); idx/vals =
+// per-level refined-voxel linear ids (over the (res0*2^l)^3 voxel grid)
+// and their 27-point child-lattice values, levels concatenated with
+// level_counts[l] entries each; vals in the (0,h,s)^3 a-major offset
+// order of mise_device._offsets. iso in logit units; pad_val the
+// boundary closing value (-1e6). Vertices in PADDED index space.
+int mise_mc_extract(const float *lvl0, int res0, int steps,
+                    const int32_t *idx, const float *vals,
+                    const int32_t *level_counts, float iso, float pad_val,
+                    double **out_verts, int **out_tris,
+                    int *out_nv, int *out_nt) {
+  const int R = res0 << steps;
+  const int R1 = R + 1;
+  const size_t n_lat = (size_t)R1 * R1 * R1;
+  std::vector<float> val(n_lat);
+  std::vector<uint8_t> kn(n_lat, 0);
+  auto lat = [R1](int x, int y, int z) {
+    return ((size_t)x * R1 + y) * R1 + z;
+  };
+
+  // ---- scatter level 0
+  const int n01 = res0 + 1;
+  for (int x = 0; x <= res0; ++x)
+    for (int y = 0; y <= res0; ++y)
+      for (int z = 0; z <= res0; ++z) {
+        size_t p = lat(x << steps, y << steps, z << steps);
+        val[p] = lvl0[((size_t)x * n01 + y) * n01 + z];
+        kn[p] = 1;
+      }
+
+  // ---- scatter refinement levels
+  const int CN = R + 2;  // padded cell grid side
+  const int32_t *idx_l = idx;
+  const float *vals_l = vals;
+  for (int l = 0; l < steps; ++l) {
+    const int s = 1 << (steps - l), h = s >> 1;
+    const int off[3] = {0, h, s};
+    const int64_t n = (int64_t)res0 << l;
+    const int m = level_counts[l];
+    for (int e = 0; e < m; ++e) {
+      int64_t v = idx_l[e];
+      int bi = (int)(v / (n * n)) * s;
+      int bj = (int)((v / n) % n) * s;
+      int bk = (int)(v % n) * s;
+      const float *w = vals_l + (size_t)e * 27;
+      int q = 0;
+      for (int a = 0; a <= 2; ++a)
+        for (int b = 0; b <= 2; ++b)
+          for (int c = 0; c <= 2; ++c, ++q) {
+            size_t p = lat(bi + off[a], bj + off[b], bk + off[c]);
+            val[p] = w[q];
+            kn[p] = 1;
+          }
+    }
+    idx_l += m;
+    vals_l += (size_t)m * 27;
+  }
+
+  // ---- ancestor fill (exact replay of the device to_dense rule)
+  for (int l = 0; l < steps; ++l) {
+    const int s = 1 << (steps - l), h = s >> 1;
+    for (int x = 0; x <= R; x += h)
+      for (int y = 0; y <= R; y += h)
+        for (int z = 0; z <= R; z += h) {
+          size_t p = lat(x, y, z);
+          if (!kn[p]) {
+            val[p] = val[lat(x / s * s, y / s * s, z / s * s)];
+            kn[p] = 1;
+          }
+        }
+  }
+
+  // ---- precompute one sign byte per padded lattice point; a cell
+  // whose 8 corner bytes agree cannot cross the iso and is skipped
+  // with no double loads
+  const int P = R + 3;  // padded lattice side
+  auto val_at = [&](int x, int y, int z) -> double {
+    if (x == 0 || y == 0 || z == 0 || x == P - 1 || y == P - 1 ||
+        z == P - 1)
+      return (double)pad_val;
+    return (double)val[lat(x - 1, y - 1, z - 1)];
+  };
+  std::vector<uint8_t> sgn((size_t)P * P * P);
+  const uint8_t pad_sgn = (double)pad_val > iso ? 1 : 0;
+  std::fill(sgn.begin(), sgn.end(), pad_sgn);
+  for (int x = 1; x < P - 1; ++x)
+    for (int y = 1; y < P - 1; ++y) {
+      uint8_t *row = &sgn[((size_t)x * P + y) * P + 1];
+      const float *vrow = &val[lat(x - 1, y - 1, 0)];
+      for (int z = 0; z < P - 2; ++z)
+        row[z] = (double)vrow[z] > iso ? 1 : 0;
+    }
+
+  // ---- marching cubes over all padded cells, lexicographic order
+  const auto &mc_table = mc::case_table();
+  MeshAcc acc;
+  static const int CO[8][3] = {{0,0,0},{0,0,1},{0,1,0},{0,1,1},
+                               {1,0,0},{1,0,1},{1,1,0},{1,1,1}};
+  const size_t SX = (size_t)P * P, SY = P;
+  for (int x = 0; x < CN; ++x)
+    for (int y = 0; y < CN; ++y) {
+      const uint8_t *s00 = &sgn[(size_t)x * SX + (size_t)y * SY];
+      const uint8_t *s01 = s00 + SY, *s10 = s00 + SX, *s11 = s10 + SY;
+      for (int z = 0; z < CN; ++z) {
+        uint8_t first_s = s00[z];
+        if (s00[z + 1] == first_s && s01[z] == first_s &&
+            s01[z + 1] == first_s && s10[z] == first_s &&
+            s10[z + 1] == first_s && s11[z] == first_s &&
+            s11[z + 1] == first_s)
+          continue;
+        double cv[8];
+        uint64_t ck[8];
+        V3 cp[8];
+        int cmask = 0;
+        for (int c = 0; c < 8; ++c) {
+          int cx = x + CO[c][0], cy = y + CO[c][1], cz = z + CO[c][2];
+          cv[c] = val_at(cx, cy, cz);
+          ck[c] = node_key(cx, cy, cz, P, P);
+          cp[c] = V3{(double)cx, (double)cy, (double)cz};
+          if (cv[c] > iso) cmask |= 1 << c;
+        }
+        if (cmask == 0 || cmask == 255) continue;
+        for (const auto &loop : mc_table.loops[cmask]) {
+          int first = -1, prev = -1;
+          for (size_t i = 0; i < loop.size(); ++i) {
+            int e = loop[i];
+            int a = mc::EDGE_V[e][0], b = mc::EDGE_V[e][1];
+            int vid = acc.edge_vertex(ck[a], ck[b], cp[a], cp[b],
+                                      cv[a], cv[b], iso);
+            if (i == 0) {
+              first = vid;
+            } else if (i >= 2) {
+              acc.tris.push_back(first);
+              acc.tris.push_back(prev);
+              acc.tris.push_back(vid);
+            }
+            prev = vid;
+          }
+        }
+      }
+    }
+  *out_nv = (int)(acc.verts.size() / 3);
+  *out_nt = (int)(acc.tris.size() / 3);
+  double *ov = new double[acc.verts.size()];
+  int *ot = new int[acc.tris.size()];
+  std::memcpy(ov, acc.verts.data(), acc.verts.size() * sizeof(double));
+  std::memcpy(ot, acc.tris.data(), acc.tris.size() * sizeof(int));
+  *out_verts = ov;
+  *out_tris = ot;
+  return 0;
+}
+
 }  // extern "C"

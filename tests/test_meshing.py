@@ -227,6 +227,77 @@ class TestMISE:
             )
             np.testing.assert_array_equal(a.faces, b.faces)
 
+    def test_sparse_mc_byte_identical_to_dense(self):
+        """mise_marching_cubes (the sparse-direct C++ extractor behind
+        Generator3D.finish_meshes_device) is BYTE-identical — same
+        vertex ids, same coordinates, same triangles — to marching
+        cubes over the padded dense reconstruction, on an adversarial
+        field: bumpy off-center spheres, an all-negative proposal, and
+        an all-positive one whose surface rides the padded boundary."""
+        import jax
+        import jax.numpy as jnp
+
+        from rfdnet_tpu.meshing.mise_device import (
+            make_compactor,
+            make_mise_device,
+            reconstruct_dense,
+        )
+        from rfdnet_tpu.meshing.native import (
+            marching_cubes,
+            mise_marching_cubes,
+        )
+
+        rng = np.random.RandomState(0)
+        Nb = 5
+        feats = np.zeros((Nb, 8), np.float32)
+        feats[:, :3] = rng.uniform(-0.15, 0.15, (Nb, 3))
+        feats[:, 3] = rng.uniform(0.15, 0.4, Nb)
+        feats[3, :4] = [0, 0, 0, -1.0]  # empty
+        feats[4, :4] = [0, 0, 0, 5.0]   # full incl. boundary
+
+        def decode(f, c, pts):
+            ctr = f[:, None, :3]
+            r = f[:, None, 3]
+            d = jnp.linalg.norm(pts - ctr, axis=-1)
+            bump = 0.3 * jnp.sin(9 * pts[..., 0]) * jnp.cos(7 * pts[..., 1])
+            return 12.0 * (r - d) + bump
+
+        res0, steps, thr = 16, 2, 0.5
+        fn = jax.jit(make_mise_device(
+            decode, res0, steps, thr, padding=0.1, output="sparse",
+            out_dtype=jnp.float32,
+        ))
+        lvl0, levels, counts = fn(jnp.asarray(feats),
+                                  jnp.zeros((Nb, 8), jnp.float32))
+        counts = np.asarray(counts)
+        comp = []
+        for l, (idx_l, vals_l) in enumerate(levels):
+            K = idx_l.shape[1]
+            total = int(counts[:, l].sum())
+            bucket = min(max(256, 1 << max(total - 1, 0).bit_length()),
+                         Nb * K)
+            out = jax.jit(make_compactor(K, bucket))(
+                idx_l, vals_l, jnp.asarray(counts[:, l])
+            )
+            comp.append(tuple(np.asarray(x) for x in out))
+        dense = reconstruct_dense(np.asarray(lvl0), comp, res0, steps)
+        iso = float(np.log(thr) - np.log(1 - thr))
+        for i in range(Nb):
+            padded = np.pad(dense[i].astype(np.float32), 1,
+                            constant_values=-1e6)
+            v_ref, t_ref = marching_cubes(padded, iso)
+            idx_i, vals_i = [], []
+            for gprop, gidx, gvals, gvalid in comp:
+                sel = gvalid.astype(bool) & (gprop == i)
+                idx_i.append(gidx[sel])
+                vals_i.append(gvals[sel].astype(np.float32))
+            v_sp, t_sp = mise_marching_cubes(
+                np.asarray(lvl0)[i], res0, steps, idx_i, vals_i, iso
+            )
+            np.testing.assert_array_equal(v_sp, v_ref)
+            np.testing.assert_array_equal(t_sp, t_ref)
+        assert sum(len(np.asarray(lv[0])) for lv in comp) > 0
+
     def test_native_octree_matches_python_oracle(self):
         """The C++ MISE octree (meshing.cpp mise_*, the production path
         of `_make_tree`) must replay the Python MISE class exactly:
