@@ -157,6 +157,11 @@ def furthest_point_sample(
     Returns:
       (B, npoint) int32 indices into N. Gradients do not flow (indices).
     """
+    # Indices are non-differentiable (the reference's FurthestPointSampling
+    # autograd Function has no backward, `pointnet2_utils.py:34-56`); cut
+    # the tangent here so param-dependent inputs (vote_fps sampling feeds
+    # predicted vote coordinates) don't trace the Pallas kernel under jvp.
+    xyz = jax.lax.stop_gradient(xyz)
     if impl is None:
         import jax as _jax
 

@@ -86,7 +86,8 @@ class CheckpointIO:
         self._ckptr.wait_until_finished()
 
     def load(self, path: str):
-        restored = self._ckptr.restore(path)
+        # orbax/tensorstore requires absolute paths
+        restored = self._ckptr.restore(os.path.abspath(path))
         return restored["state"], restored.get("meta", {})
 
     def save_last(self, state, meta=None):

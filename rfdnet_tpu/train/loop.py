@@ -208,7 +208,11 @@ def train(cfg, model, dataset_config, train_loader, val_loader,
             board, cfg.config["log"].get("print_step", 10),
         )
         eval_loss = val_losses.get("total", np.inf)
+        prev_lr = trainer.plateau.lr
         trainer.plateau.step(eval_loss)
+        if trainer.plateau.lr != prev_lr:
+            log(f"epoch {epoch}: plateau patience exceeded, "
+                f"LR {prev_lr:.2e} -> {trainer.plateau.lr:.2e}")
         if checkpoint is not None:
             meta = {"epoch": epoch, "min_loss": float(min(min_loss, eval_loss)),
                     "lr": trainer.plateau.lr}

@@ -81,6 +81,42 @@ def test_fps_pallas_interpret(rng):
     np.testing.assert_array_equal(np.asarray(got), fps_oracle(xyz, 24))
 
 
+def test_fps_under_grad_with_param_dependent_xyz(rng):
+    """vote_fps feeds PREDICTED vote coordinates to FPS, so under
+    jax.grad the sampled xyz carries a tangent. FPS indices are
+    non-differentiable (the reference's FurthestPointSampling has no
+    backward, `pointnet2_utils.py:34-56`) — furthest_point_sample must
+    cut the tangent before the Pallas kernel, whose pallas_call has no
+    jvp rule (interpret mode exercises the identical trace path the TPU
+    hits). Regression for the vote_fps train-step crash."""
+    import sys
+
+    import jax
+
+    fps_mod = sys.modules["rfdnet_tpu.ops.fps"]
+    xyz = jnp.asarray(rng.randn(1, 96, 3).astype(np.float32))
+
+    def loss(offset, impl):
+        votes = xyz + offset  # param-dependent coordinates
+        old = fps_mod._fps_pallas
+        if impl == "pallas":
+            fps_mod._fps_pallas = lambda x, n, s: old(x, n, s, interpret=True)
+        try:
+            inds = ops.furthest_point_sample(votes, 16, impl=impl)
+        finally:
+            fps_mod._fps_pallas = old
+        gathered = jnp.take_along_axis(votes, inds[..., None], axis=1)
+        return jnp.sum(gathered**2)
+
+    g_pallas = jax.grad(lambda o: loss(o, "pallas"))(jnp.ones((1, 1, 3)))
+    g_xla = jax.grad(lambda o: loss(o, "xla"))(jnp.ones((1, 1, 3)))
+    # grads flow through the gather (values), not the indices
+    np.testing.assert_allclose(
+        np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-6
+    )
+    assert np.any(np.asarray(g_xla) != 0.0)
+
+
 def test_ball_query_matches_oracle(rng):
     xyz = rng.randn(2, 128, 3).astype(np.float32)
     centers = xyz[:, :16] + 0.05 * rng.randn(2, 16, 3).astype(np.float32)
