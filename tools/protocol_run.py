@@ -53,9 +53,6 @@ def _stage_yaml(split_dir, shapenet, out_dir, *, phase, lr, epochs, batch,
             "num_point": N_POINTS,
             "split": split_dir,
             "shapenet_path": shapenet,
-            # device-resident input path: scenes + shape bank uploaded
-            # once, per-step sampling/augmentation jitted on device
-            "device_cache": True,
         },
         "train": {"phase": phase, "batch_size": batch, "epochs": epochs,
                   "freeze": list(freeze)},
