@@ -390,10 +390,17 @@ def build_splits(out_root: str, split_dir: str, scannet_split_dir: str):
         txt = os.path.join(scannet_split_dir, f"scannetv2_{split}.txt")
         with open(txt) as f:
             wanted = [l.strip() for l in f if l.strip()]
+        # paths relative to split_dir: the dataset resolves non-absolute
+        # entries against its root (the splits dir, `data/scannet.py:81`),
+        # so the prepped artifact stays relocatable and CWD-independent
         entries = [
             {
-                "scan": os.path.join(out_root, s, "full_scan.npz"),
-                "bbox": os.path.join(out_root, s, "bbox.pkl"),
+                "scan": os.path.relpath(
+                    os.path.abspath(os.path.join(out_root, s, "full_scan.npz")),
+                    os.path.abspath(split_dir)),
+                "bbox": os.path.relpath(
+                    os.path.abspath(os.path.join(out_root, s, "bbox.pkl")),
+                    os.path.abspath(split_dir)),
             }
             for s in wanted if s in processed
         ]
