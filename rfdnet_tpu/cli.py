@@ -38,6 +38,7 @@ def _build_loaders(cfg: Config, modes):
             shapenet_path=d.get("shapenet_path"),
             dataset_config=cfg.dataset_config,
             seed=cfg.config.get("seed", 10),
+            augment=d.get("augment"),
         )
         loaders[mode] = DataLoader(
             ds,

@@ -55,7 +55,8 @@ class ScanNetDataset:
                  shapenet_path: str | None = None,
                  dataset_config: ScannetConfig | None = None,
                  root: str | None = None,
-                 seed: int = 10):
+                 seed: int = 10,
+                 augment: bool | None = None):
         with open(split_file) as f:
             self.split = json.load(f)
         self.root = root or os.path.dirname(os.path.abspath(split_file))
@@ -68,7 +69,7 @@ class ScanNetDataset:
         self.points_unpackbits = points_unpackbits
         self.shapenet_path = shapenet_path
         self.dataset_config = dataset_config or ScannetConfig()
-        self.augment = mode == "train"
+        self.augment = (mode == "train") if augment is None else augment
         self.seed = seed
         self.epoch = 0
 

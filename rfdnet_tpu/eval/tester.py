@@ -98,21 +98,35 @@ class Tester:
                 and cfg.config["data"].get("decoder_bf16")
                 else None
             )
-        self._gen_fn = jax.jit(
-            partial(
-                self._apply_generate,
-                nms_iou=ec["nms_iou"],
-                use_cls_nms=ec["cls_nms"],
-                dump_threshold=self.dump_threshold,
-                remove_empty_box=ec.get("remove_empty_box", False),
-                decode_grid_res=self._fused_grid_res,
-                grid_rng=z_rng,
-                # transfer-only quantization of the logit grids (the
-                # largest device->host output); decoder math stays f32
-                grid_dtype="float16" if self._fused_grid_res else None,
-                grid_impl=impl,
-            )
+        thr = cfg.config["data"]["threshold"]
+        self._grid_iso = float(np.log(thr) - np.log(1.0 - thr))
+        # transfer-sparse grids by default (sign bits + iso-neighborhood
+        # values; byte-identical meshes, ~4-8x less tunnel traffic);
+        # `generation.grid_sparse: false` restores dense f16 downloads
+        sparse_on = gen_cfg.get("grid_sparse", True) and self._fused_grid_res
+        self._sparse_budget = (
+            int(gen_cfg.get("grid_sparse_budget", 1 << 19))
+            if sparse_on else None
         )
+        self._gen_kw = dict(
+            nms_iou=ec["nms_iou"],
+            use_cls_nms=ec["cls_nms"],
+            dump_threshold=self.dump_threshold,
+            remove_empty_box=ec.get("remove_empty_box", False),
+            decode_grid_res=self._fused_grid_res,
+            grid_rng=z_rng,
+            # transfer-only quantization of the logit grids (the
+            # largest device->host output); decoder math stays f32
+            grid_dtype="float16" if self._fused_grid_res else None,
+            grid_impl=impl,
+        )
+        self._gen_fn = jax.jit(partial(
+            self._apply_generate,
+            grid_sparse_budget=self._sparse_budget,
+            grid_iso=self._grid_iso,
+            **self._gen_kw,
+        ))
+        self.__gen_fn_dense = None
         # f16 at the jit boundary: transfer-only quantization of the
         # chunked MISE logits (decoder math stays f32); clipped to the
         # f16 finite range so extreme logits can't overflow to inf and
@@ -150,8 +164,25 @@ class Tester:
             variables, batch, method=ISCNet.generate, mutable=False, **kw
         )
 
+    @property
+    def _gen_fn_dense(self):
+        """Dense-grid generate (sparse-budget-overflow fallback), built
+        on first use."""
+        if self.__gen_fn_dense is None:
+            self.__gen_fn_dense = jax.jit(
+                partial(self._apply_generate, **self._gen_kw)
+            )
+        return self.__gen_fn_dense
+
     # ---------------------------------------------------------------- step
-    def test_step(self, batch: dict) -> dict:
+    def dispatch_step(self, batch: dict) -> dict:
+        """Launch one scene's device program (async) and materialize its
+        outputs in a background thread: np.asarray releases the GIL during
+        the device->host copy, so scene i+1's transfer overlaps scene i's
+        host mesh extraction (the reference's loop is fully serial,
+        `test_epoch.py:10-41`). Pair with `consume_step`."""
+        import threading
+
         device_batch = {
             k: v for k, v in batch.items()
             if not isinstance(v, list) and k not in
@@ -159,11 +190,59 @@ class Tester:
              "shapenet_catids", "shapenet_ids", "scan_idx")
         }
         out = self._gen_fn(self.variables, device_batch)
-        parsed = {k: np.asarray(v) for k, v in out["parsed"].items()}
-        gen = (
-            {k: np.asarray(v) for k, v in out["gen"].items()}
-            if "gen" in out else {}
-        )
+        for leaf in jax.tree_util.tree_leaves(out):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:
+                pass
+        box: dict = {}
+
+        def materialize():
+            try:
+                box["parsed"] = {
+                    k: np.asarray(v) for k, v in out["parsed"].items()
+                }
+                box["gen"] = (
+                    {k: np.asarray(v) for k, v in out["gen"].items()}
+                    if "gen" in out else {}
+                )
+                if "completion_loss" in out:
+                    box["completion_loss"] = float(out["completion_loss"])
+                if out.get("shape_voxels_bits") is not None:
+                    box["shape_voxels_bits"] = np.asarray(
+                        out["shape_voxels_bits"]
+                    )
+                elif out.get("shape_voxels") is not None:
+                    # pre-bit-packing generate output (compat)
+                    v = np.asarray(out["shape_voxels"])
+                    box["shape_voxels_bits"] = np.packbits(
+                        (v >= 0.5).reshape(v.shape[0], -1), axis=-1
+                    )
+                if out.get("grid_bits") is not None:
+                    box["grid_bits"] = np.asarray(out["grid_bits"])
+                    box["grid_vals"] = np.asarray(out["grid_vals"])
+                    box["grid_counts"] = np.asarray(out["grid_counts"])
+                if "grids" in out:
+                    box["grids"] = np.asarray(out["grids"])
+            except Exception as e:  # surfaced at consume time
+                box["err"] = e
+
+        th = threading.Thread(target=materialize)
+        th.start()
+        return {"out": out, "box": box, "th": th, "batch": batch,
+                "device_batch": device_batch}
+
+    def test_step(self, batch: dict) -> dict:
+        return self.consume_step(self.dispatch_step(batch))
+
+    def consume_step(self, pending: dict) -> dict:
+        pending["th"].join()
+        box = pending["box"]
+        if "err" in box:
+            raise box["err"]
+        out, batch = pending["out"], pending["batch"]
+        parsed = box["parsed"]
+        gen = box["gen"]
         point_clouds = np.asarray(batch["point_clouds"])
         if gen:
             B, G, _ = gen["proposal_ids"].shape
@@ -176,8 +255,10 @@ class Tester:
 
         # per-class voxel IoU stats (`network.py:144-150`)
         iou_stats = None
-        if gen and "shape_voxels" in out and "object_voxels" in batch:
-            voxels = np.asarray(out["shape_voxels"]).reshape(B * G, 16, 16, 16)
+        if gen and "shape_voxels_bits" in box and "object_voxels" in batch:
+            voxels = np.unpackbits(
+                box["shape_voxels_bits"], axis=-1
+            ).reshape(B * G, 16, 16, 16)
             gt_ids = gen["proposal_ids"][..., 1].reshape(-1)
             gt_vox = np.asarray(batch["object_voxels"])[
                 np.repeat(np.arange(B), G), gt_ids
@@ -192,9 +273,25 @@ class Tester:
         # host mesh extraction for all valid proposals in one batched pass
         meshes = None
         if gen and self.generate_mesh and "features" in gen:
-            if "grids" in out:  # fused single-dispatch dense-grid path
+            if "grid_bits" in box:  # transfer-sparse dense-grid path
+                meshes = self.generator.meshes_from_sparse_grids(
+                    box["grid_bits"], box["grid_vals"], box["grid_counts"],
+                    self._fused_grid_res, valid=gen["valid"].reshape(-1),
+                    features=gen["features"], cls_codes=gen["cls_codes"],
+                )
+                if meshes is None:
+                    # budget overflow: dense re-dispatch for this scene
+                    self.log("[tester] sparse-grid budget overflow; "
+                             "dense fallback")
+                    dense = self._gen_fn_dense(self.variables, pending["device_batch"])
+                    meshes = self.generator.meshes_from_grids(
+                        np.asarray(dense["grids"]),
+                        valid=gen["valid"].reshape(-1),
+                        features=gen["features"], cls_codes=gen["cls_codes"],
+                    )
+            elif "grids" in box:  # fused single-dispatch dense-grid path
                 meshes = self.generator.meshes_from_grids(
-                    out["grids"], valid=gen["valid"].reshape(-1),
+                    box["grids"], valid=gen["valid"].reshape(-1),
                     features=gen["features"], cls_codes=gen["cls_codes"],
                 )
             else:
@@ -369,8 +466,25 @@ class Tester:
         }
         cls_iou_stats = {}
         n = 0
-        for batch in loader:
-            out = self.test_step(batch)
+        # depth-1 scene pipeline: scene i+1's device program + transfer
+        # runs while scene i extracts meshes on the host (the reference's
+        # loop is fully serial)
+        pending = None
+        it = iter(loader)
+        done = False
+        while not done:
+            nxt = None
+            if max_scenes is None or n + (pending is not None) < max_scenes:
+                try:
+                    nxt = self.dispatch_step(next(it))
+                except StopIteration:
+                    pass
+            if pending is None:
+                pending, done = nxt, nxt is None
+                continue
+            out = self.consume_step(pending)
+            batch = pending["batch"]
+            pending, done = nxt, nxt is None
             for calc in calculators.values():
                 calc.step(out["batch_pred_map_cls"], out["batch_gt_map_cls"])
             if out["iou_stats"] is not None:

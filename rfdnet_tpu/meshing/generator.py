@@ -18,7 +18,6 @@ proposal on the host (C++ marching cubes; marching tetrahedra optional).
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import numpy as np
@@ -255,7 +254,6 @@ class Generator3D:
         scene vs 0.15 s of device compute). None on budget overflow —
         the caller falls back to the exact host octree."""
         from .mesh import TriMesh
-        from .native import mise_marching_cubes
 
         counts = handle["counts"]
         if (counts > np.asarray(self._mise_budgets_eff)[None, :]).any():
@@ -268,7 +266,7 @@ class Generator3D:
         R = self.resolution0 * 2**self.upsampling_steps
         box_size = 1 + self.padding
         iso = np.log(self.threshold) - np.log(1.0 - self.threshold)
-        per_prop = []
+        per_level = []
         for gprop, gidx, gvals, gvalid in levels:
             sel = np.asarray(gvalid).astype(bool)
             gp, gi = gprop[sel], gidx[sel]
@@ -276,36 +274,63 @@ class Generator3D:
             order = np.argsort(gp, kind="stable")
             gp, gi, gv = gp[order], gi[order], gv[order]
             starts = np.searchsorted(gp, np.arange(Nb + 1))
-            per_prop.append((gi, gv, starts))
+            per_level.append((gi, gv, starts))
 
-        def one(i):
-            if valid is not None and not bool(valid[i]):
-                return TriMesh(np.zeros((0, 3)), np.zeros((0, 3)))
-            idx_i, vals_i = [], []
-            for gi, gv, starts in per_prop:
+        # flatten to the batch call's (proposal, level) concatenation
+        steps = self.upsampling_steps
+        level_counts = np.zeros((Nb, steps), np.int32)
+        idx_parts, val_parts = [], []
+        for i in range(Nb):
+            for l, (gi, gv, starts) in enumerate(per_level):
                 lo, hi = starts[i], starts[i + 1]
-                idx_i.append(gi[lo:hi])
-                vals_i.append(gv[lo:hi])
-            verts, tris = mise_marching_cubes(
-                lvl0[i], self.resolution0, self.upsampling_steps,
-                idx_i, vals_i, iso,
+                level_counts[i, l] = hi - lo
+                idx_parts.append(gi[lo:hi])
+                val_parts.append(gv[lo:hi])
+        idx_cat = (np.concatenate(idx_parts) if idx_parts
+                   else np.zeros(0, np.int32))
+        val_cat = (np.concatenate(val_parts) if val_parts
+                   else np.zeros((0, 27), np.float32))
+
+        from .native import (
+            mesh_threads,
+            mise_marching_cubes,
+            mise_marching_cubes_batch,
+        )
+
+        if mesh_threads(Nb) > 1:
+            # multicore: ONE native call, worker pool across proposals
+            pairs = mise_marching_cubes_batch(
+                lvl0, self.resolution0, steps, idx_cat, val_cat,
+                level_counts, iso, valid=valid,
             )
-            if len(verts) == 0:
-                return TriMesh(np.zeros((0, 3)), np.zeros((0, 3)))
-            verts = verts - 1.0
-            verts = verts / R
-            verts = box_size * (verts - 0.5)
-            mesh = TriMesh(verts, tris)
-            return self._simplify(mesh)
-
-        workers = min(8, os.cpu_count() or 1, max(Nb, 1))
-        if workers > 1 and Nb > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(workers) as pool:
-                meshes = list(pool.map(one, range(Nb)))
         else:
-            meshes = [one(i) for i in range(Nb)]
+            # 1-core: per-proposal calls reuse a warm allocator arena —
+            # measured faster than the batch's 64 simultaneously-growing
+            # result buffers (cold first-touch pages)
+            pairs = []
+            ends = np.cumsum(level_counts.reshape(-1))
+            starts = np.concatenate([[0], ends[:-1]])
+            for i in range(Nb):
+                if valid is not None and not bool(valid[i]):
+                    pairs.append((np.zeros((0, 3)),
+                                  np.zeros((0, 3), np.int32)))
+                    continue
+                idx_i, vals_i = [], []
+                for l in range(steps):
+                    lo = starts[i * steps + l]
+                    hi = ends[i * steps + l]
+                    idx_i.append(idx_cat[lo:hi])
+                    vals_i.append(val_cat[lo:hi])
+                pairs.append(mise_marching_cubes(
+                    lvl0[i], self.resolution0, steps, idx_i, vals_i, iso,
+                ))
+        meshes = []
+        for verts, tris in pairs:
+            if len(verts) == 0:
+                meshes.append(TriMesh(np.zeros((0, 3)), np.zeros((0, 3))))
+                continue
+            verts = box_size * ((verts - 1.0) / R - 0.5)
+            meshes.append(self._simplify(TriMesh(verts, tris)))
         return self._postprocess(meshes, valid, features, cls_codes)
 
     def meshes_from_grids(self, grids, valid=None, features=None,
@@ -316,26 +341,93 @@ class Generator3D:
         `ISCNet.generate(decode_grid_res=...)` single-dispatch path.
         features/cls_codes are only needed when refinement_step > 0.
 
-        Extraction (+simplify) fans out over a thread pool — the ctypes
-        calls into the C++ extractor release the GIL, so per-proposal
-        marching cubes parallelizes across host cores (the reference
-        loops proposals serially, `generator.py:54-76`)."""
+        The whole scene extracts in ONE native call (`mc_extract_batch`):
+        padding is implicit in C++ (no 64 padded copies), per-proposal
+        work fans out over the library's gated worker pool, and the
+        per-call ctypes overhead is paid once (the reference loops
+        proposals serially through PyMCubes, `generator.py:54-76`)."""
         grids = np.asarray(grids)
+        if self.extract_fn is not marching_cubes:
+            # marching-tetrahedra path: per-proposal host loop (off the
+            # shipped protocol; MT has no batched core)
+            meshes = [
+                TriMesh(np.zeros((0, 3)), np.zeros((0, 3)))
+                if (valid is not None and not bool(valid[i]))
+                else self._simplify(self.extract_mesh(grids[i]))
+                for i in range(grids.shape[0])
+            ]
+            return self._postprocess(meshes, valid, features, cls_codes)
 
-        def one(i):
-            if valid is not None and not bool(valid[i]):
-                return TriMesh(np.zeros((0, 3)), np.zeros((0, 3)))
-            return self._simplify(self.extract_mesh(grids[i]))
+        from .native import (
+            marching_cubes_batch,
+            marching_cubes_padded,
+            mesh_threads,
+        )
 
-        n = grids.shape[0]
-        workers = min(8, os.cpu_count() or 1, max(n, 1))
-        if workers > 1 and n > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(workers) as pool:
-                meshes = list(pool.map(one, range(n)))
+        box_size = 1 + self.padding
+        iso = np.log(self.threshold) - np.log(1.0 - self.threshold)
+        # cast BEFORE the implicit -1e6 pad: grids may arrive float16
+        # (transfer-only quantization) and the pad overflows f16 to -inf
+        g32 = grids.astype(np.float32)
+        if mesh_threads(g32.shape[0]) > 1:
+            pairs = marching_cubes_batch(g32, iso, valid=valid)
         else:
-            meshes = [one(i) for i in range(n)]
+            # 1-core: warm-arena per-proposal calls (see the mise path)
+            pairs = [
+                (np.zeros((0, 3)), np.zeros((0, 3), np.int32))
+                if (valid is not None and not bool(valid[i]))
+                else marching_cubes_padded(g32[i], iso)
+                for i in range(g32.shape[0])
+            ]
+        scale = box_size / np.array(
+            [grids.shape[1] - 1, grids.shape[2] - 1, grids.shape[3] - 1]
+        )
+        meshes = []
+        for verts, tris in pairs:
+            if len(verts) == 0:
+                meshes.append(TriMesh(np.zeros((0, 3)), np.zeros((0, 3))))
+                continue
+            verts = (verts - 1.0) * scale - box_size * 0.5
+            meshes.append(self._simplify(TriMesh(verts, tris)))
+        return self._postprocess(meshes, valid, features, cls_codes)
+
+    def meshes_from_sparse_grids(self, bits, vals, counts, nx, valid=None,
+                                 features=None, cls_codes=None):
+        """Host half of the transfer-sparse dense-grid path: per-proposal
+        marching cubes from packed sign bits + needed-point values
+        (`mise_device.sparsify_grids`), byte-identical to
+        `meshes_from_grids` over the dense grids. Returns None on budget
+        overflow or a host/device needed-count mismatch — the caller
+        falls back to a dense download."""
+        from .native import marching_cubes_bits
+
+        counts = np.asarray(counts)
+        vals = np.asarray(vals)
+        if int(counts.sum()) > len(vals):
+            return None
+        bits = np.asarray(bits)
+        vals = vals.astype(np.float32)
+        Nb = bits.shape[0]
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        box_size = 1 + self.padding
+        iso = np.log(self.threshold) - np.log(1.0 - self.threshold)
+        scale = box_size / (nx - 1)
+        meshes = []
+        for i in range(Nb):
+            if valid is not None and not bool(valid[i]):
+                meshes.append(TriMesh(np.zeros((0, 3)), np.zeros((0, 3))))
+                continue
+            pair = marching_cubes_bits(
+                bits[i], vals[offs[i]:offs[i + 1]], (nx, nx, nx), iso
+            )
+            if pair is None:
+                return None
+            verts, tris = pair
+            if len(verts) == 0:
+                meshes.append(TriMesh(np.zeros((0, 3)), np.zeros((0, 3))))
+                continue
+            verts = (verts - 1.0) * scale - box_size * 0.5
+            meshes.append(self._simplify(TriMesh(verts, tris)))
         return self._postprocess(meshes, valid, features, cls_codes)
 
     def _simplify(self, mesh):

@@ -233,6 +233,57 @@ def make_mise_device(
     return run
 
 
+def sparsify_grids(grids: jax.Array, iso: float, budget: int, valid=None):
+    """Transfer-sparsification of dense occupancy-logit grids (the
+    protocol path's dominant device->host payload): marching cubes only
+    reads corner VALUES at cells that cross the iso, so ship (a) one sign
+    bit per lattice point and (b) the values of points whose 3^3
+    neighborhood (padded with outside) carries mixed signs — every corner
+    of every mixed padded cell is such a point. ~4.2 MB/scene of f16
+    grids becomes ~0.3-1.3 MB on the 64-proposal protocol.
+
+    grids: (Nb, n, n, n) float16/float32 logits. Returns
+    (bits (Nb, n^3/8) uint8 [np.packbits big-bit order],
+     vals (budget,) grids.dtype — the needed points' values in
+     (proposal, point-index) ascending order,
+     counts (Nb,) int32 — true needed count per proposal; overflow iff
+     counts.sum() > budget, in which case the caller falls back to a
+     dense download).
+
+    Byte-identity: the host extractor (`meshing.cpp mc_extract_bits`)
+    rebuilds the same sign field and the same ascending needed order, so
+    its meshes equal the dense path's bit for bit
+    (tests/test_meshing.py).
+
+    valid: optional (Nb,) bool — invalid proposals ship no values
+    (count 0); the caller emits empty meshes for them anyway."""
+    Nb, n = grids.shape[0], grids.shape[1]
+    occ = grids.astype(jnp.float32) > jnp.float32(iso)
+    bits = jnp.packbits(occ.reshape(Nb, -1), axis=-1)
+    occp = jnp.pad(occ, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    any_in = jnp.zeros((Nb, n, n, n), bool)
+    all_in = jnp.ones((Nb, n, n, n), bool)
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                w = occp[:, dx:dx + n, dy:dy + n, dz:dz + n]
+                any_in = any_in | w
+                all_in = all_in & w
+    needed = any_in & ~all_in
+    if valid is not None:
+        needed = needed & valid.reshape(Nb, 1, 1, 1)
+    flat = needed.reshape(-1)
+    # stable stream-compaction by cumulative position (ascending order,
+    # proposal-major) — O(N), no top_k
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    tgt = jnp.where(flat & (pos < budget), pos, budget)
+    vals = jnp.zeros((budget,), grids.dtype).at[tgt].set(
+        grids.reshape(-1), mode="drop"
+    )
+    counts = jnp.sum(needed.reshape(Nb, -1), axis=-1, dtype=jnp.int32)
+    return bits, vals, counts
+
+
 def make_compactor(K: int, bucket: int):
     """Jittable cross-proposal compaction of one sparse level.
 

@@ -21,10 +21,48 @@ _lock = threading.Lock()
 _lib = None
 
 
+def _host_tag() -> str:
+    """Build-host fingerprint: -march=native binaries are only valid on
+    CPUs with the same ISA extensions (ADVICE r3: a .so carried across
+    hosts can SIGILL)."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    return platform.machine() + ":" + hashlib.sha1(
+        flags.encode()
+    ).hexdigest()[:16]
+
+
+def _stale(so: str, src: str) -> bool:
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        return True
+    tag = so + ".buildinfo"
+    try:
+        with open(tag) as f:
+            return f.read().strip() != _host_tag()
+    except OSError:
+        return True  # no build record: binary of unknown provenance
+
+
+def _record_build(so: str) -> None:
+    with open(so + ".buildinfo", "w") as f:
+        f.write(_host_tag())
+
+
 def _build() -> None:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
            _SRC, "-o", _SO]
     subprocess.run(cmd, check=True, capture_output=True)
+    _record_build(_SO)
 
 
 def get_lib() -> ctypes.CDLL:
@@ -32,9 +70,7 @@ def get_lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-            _SRC
-        ):
+        if _stale(_SO, _SRC):
             _build()
         lib = ctypes.CDLL(_SO)
         _extract_sig = [
@@ -93,6 +129,47 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
+        lib.mise_mc_extract_batch.restype = ctypes.c_void_p
+        lib.mise_mc_extract_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.mc_extract_batch.restype = ctypes.c_void_p
+        lib.mc_extract_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.batch_mesh_get.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
+        ]
+        lib.batch_result_free.argtypes = [ctypes.c_void_p]
+        lib.mc_extract_padded.restype = ctypes.c_int
+        lib.mc_extract_padded.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.mesh_threads.restype = ctypes.c_int
+        lib.mesh_threads.argtypes = [ctypes.c_int]
+        lib.mc_extract_bits.restype = ctypes.c_int
+        lib.mc_extract_bits.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
         _lib = lib
         return lib
 
@@ -109,14 +186,13 @@ def get_prep_lib() -> ctypes.CDLL:
     with _lock:
         if _prep_lib is not None:
             return _prep_lib
-        if not os.path.exists(_PREP_SO) or os.path.getmtime(
-            _PREP_SO
-        ) < os.path.getmtime(_PREP_SRC):
+        if _stale(_PREP_SO, _PREP_SRC):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
                  "-fPIC", "-std=c++17", _PREP_SRC, "-o", _PREP_SO],
                 check=True, capture_output=True,
             )
+            _record_build(_PREP_SO)
         lib = ctypes.CDLL(_PREP_SO)
         lib.simplify_qem.restype = ctypes.c_int
         lib.simplify_qem.argtypes = [
@@ -229,6 +305,150 @@ def mise_marching_cubes(lvl0: np.ndarray, resolution_0: int,
     tris = np.ctypeslib.as_array(tp, shape=(nt.value, 3)).copy()
     lib.mesh_free(vp, tp)
     return verts, tris
+
+
+def _split_batch(lib, handle, n, nv_per, nt_per):
+    """Copy each proposal's mesh out of the batch result (one small copy
+    per mesh, no concatenation pass) and free the native memory."""
+    out = []
+    vp = ctypes.POINTER(ctypes.c_double)()
+    tp = ctypes.POINTER(ctypes.c_int)()
+    try:
+        for i in range(n):
+            nv, nt = int(nv_per[i]), int(nt_per[i])
+            if nv == 0:
+                out.append(
+                    (np.zeros((0, 3)), np.zeros((0, 3), np.int32))
+                )
+                continue
+            lib.batch_mesh_get(handle, i, ctypes.byref(vp), ctypes.byref(tp))
+            out.append((
+                np.ctypeslib.as_array(vp, shape=(nv, 3)).copy(),
+                np.ctypeslib.as_array(tp, shape=(nt, 3)).copy(),
+            ))
+    finally:
+        lib.batch_result_free(handle)
+    return out
+
+
+def mesh_threads(njobs: int) -> int:
+    """Worker-pool width the native batch extractors would use
+    (RFDNET_MESH_THREADS env or hardware_concurrency, clamped)."""
+    return int(get_lib().mesh_threads(int(njobs)))
+
+
+def marching_cubes_padded(grid: np.ndarray, iso: float,
+                          pad_val: float = -1e6):
+    """Single-grid marching cubes with the pad_val boundary layer applied
+    implicitly in C++ (no np.pad copy). Vertices in PADDED index space —
+    byte-identical to marching_cubes(np.pad(grid, 1, ...), iso)."""
+    lib = get_lib()
+    grid = np.ascontiguousarray(grid, dtype=np.float32)
+    nx, ny, nz = grid.shape
+    vp = ctypes.POINTER(ctypes.c_double)()
+    tp = ctypes.POINTER(ctypes.c_int)()
+    nv = ctypes.c_int()
+    nt = ctypes.c_int()
+    lib.mc_extract_padded(
+        _cptr(grid, ctypes.c_float), nx, ny, nz, ctypes.c_float(iso),
+        ctypes.c_float(pad_val),
+        ctypes.byref(vp), ctypes.byref(tp), ctypes.byref(nv),
+        ctypes.byref(nt),
+    )
+    verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy()
+    tris = np.ctypeslib.as_array(tp, shape=(nt.value, 3)).copy()
+    lib.mesh_free(vp, tp)
+    return verts, tris
+
+
+def marching_cubes_bits(bits: np.ndarray, vals: np.ndarray, shape,
+                        iso: float, pad_val: float = -1e6):
+    """Marching cubes from ONE proposal's transfer-sparse grid form
+    (`mise_device.sparsify_grids`): packed sign bits + needed-point
+    values in ascending order. Byte-identical to
+    marching_cubes_padded(dense_grid, iso). Returns (verts, tris) in
+    PADDED index space, or None if the host-derived needed count
+    disagrees with len(vals) (caller falls back to the dense path)."""
+    lib = get_lib()
+    bits = np.ascontiguousarray(bits, dtype=np.uint8)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    nx, ny, nz = shape
+    vp = ctypes.POINTER(ctypes.c_double)()
+    tp = ctypes.POINTER(ctypes.c_int)()
+    nv = ctypes.c_int()
+    nt = ctypes.c_int()
+    rc = lib.mc_extract_bits(
+        _cptr(bits, ctypes.c_uint8), _cptr(vals, ctypes.c_float),
+        len(vals), nx, ny, nz, ctypes.c_float(iso), ctypes.c_float(pad_val),
+        ctypes.byref(vp), ctypes.byref(tp), ctypes.byref(nv),
+        ctypes.byref(nt),
+    )
+    if rc != 0:
+        return None
+    verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy()
+    tris = np.ctypeslib.as_array(tp, shape=(nt.value, 3)).copy()
+    lib.mesh_free(vp, tp)
+    return verts, tris
+
+
+def marching_cubes_batch(grids: np.ndarray, iso: float,
+                         pad_val: float = -1e6, valid=None):
+    """Batched marching cubes over (n, nx, ny, nz) grids, each implicitly
+    padded with one pad_val layer per side (no padded copies, ONE native
+    call for the whole scene — the per-call ctypes overhead was ~1 ms x
+    64 proposals). Returns a list of (verts (V,3) float64 in PADDED index
+    space, tris (T,3) int32); empty pairs for invalid slots."""
+    lib = get_lib()
+    grids = np.ascontiguousarray(grids, dtype=np.float32)
+    n, nx, ny, nz = grids.shape
+    vmask = None
+    vptr = ctypes.POINTER(ctypes.c_uint8)()
+    if valid is not None:
+        vmask = np.ascontiguousarray(
+            np.asarray(valid).reshape(-1).astype(np.uint8))
+        vptr = _cptr(vmask, ctypes.c_uint8)
+    nv_per = np.zeros(n, np.int32)
+    nt_per = np.zeros(n, np.int32)
+    handle = lib.mc_extract_batch(
+        _cptr(grids, ctypes.c_float), n, nx, ny, nz,
+        ctypes.c_float(iso), ctypes.c_float(pad_val), vptr,
+        _cptr(nv_per, ctypes.c_int32), _cptr(nt_per, ctypes.c_int32),
+    )
+    return _split_batch(lib, handle, n, nv_per, nt_per)
+
+
+def mise_marching_cubes_batch(lvl0s: np.ndarray, resolution_0: int,
+                              upsampling_steps: int, idx: np.ndarray,
+                              vals: np.ndarray, level_counts: np.ndarray,
+                              iso: float, valid=None,
+                              pad_val: float = -1e6):
+    """Batched sparse-replay marching cubes (ONE native call for all
+    proposals; see mise_marching_cubes for the per-proposal contract).
+
+    lvl0s: (n, res0+1, res0+1, res0+1); level_counts: (n, steps) int32;
+    idx (M,) int32 / vals (M, 27) f32 concatenated in (proposal, level)
+    order. Returns a list of (verts, tris) in padded index space."""
+    lib = get_lib()
+    lvl0s = np.ascontiguousarray(lvl0s, dtype=np.float32)
+    n = lvl0s.shape[0]
+    level_counts = np.ascontiguousarray(level_counts, dtype=np.int32)
+    idx = np.ascontiguousarray(idx.reshape(-1), dtype=np.int32)
+    vals = np.ascontiguousarray(vals.reshape(-1, 27), dtype=np.float32)
+    vptr = ctypes.POINTER(ctypes.c_uint8)()
+    if valid is not None:
+        vmask = np.ascontiguousarray(
+            np.asarray(valid).reshape(-1).astype(np.uint8))
+        vptr = _cptr(vmask, ctypes.c_uint8)
+    nv_per = np.zeros(n, np.int32)
+    nt_per = np.zeros(n, np.int32)
+    handle = lib.mise_mc_extract_batch(
+        _cptr(lvl0s, ctypes.c_float), n, int(resolution_0),
+        int(upsampling_steps), _cptr(idx, ctypes.c_int32),
+        _cptr(vals, ctypes.c_float), _cptr(level_counts, ctypes.c_int32),
+        ctypes.c_float(iso), ctypes.c_float(pad_val), vptr,
+        _cptr(nv_per, ctypes.c_int32), _cptr(nt_per, ctypes.c_int32),
+    )
+    return _split_batch(lib, handle, n, nv_per, nt_per)
 
 
 def voxelize_surface(verts, tris, origin, voxel_size, dims):

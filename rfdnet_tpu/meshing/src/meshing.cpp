@@ -12,10 +12,13 @@
 // vertex-interpolation convention (vertices in grid-index space) and the
 // edge-welded output.
 
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <limits>
+#include <thread>
 #include <vector>
 #include <deque>
 #include <algorithm>
@@ -189,7 +192,197 @@ static const CaseTable &case_table() {
   return g_table;
 }
 
+inline int edge_axis_of(int a, int b) {
+  int d = a ^ b;           // cube-local corners differ in exactly one bit
+  return d == 4 ? 0 : (d == 2 ? 1 : 2);  // v = dx*4 + dy*2 + dz
+}
+
 }  // namespace mc
+
+// ------------------------------------------------------------- fast MC core
+// Single-thread-speed machinery shared by mc_extract and mise_mc_extract
+// (the two hot extractors — VERDICT r3 item 3):
+//  - a direct-addressed edge->vertex cache (edges are (min corner, axis),
+//    so the unordered_map in MeshAcc becomes an O(1) array lookup; the
+//    map dominated tessellation-heavy meshes),
+//  - epoch stamps so the cache never needs clearing between proposals,
+//  - bit-packed corner signs (one uint64 spans 64 lattice points along z)
+//    with word-level uniform-cell skipping: a cell whose 8 corners agree
+//    is eliminated 64 cells at a time instead of via 8 scalar loads.
+// Scan order (lexicographic cells) and first-encounter vertex numbering
+// are IDENTICAL to the map-based path, so outputs are byte-identical.
+namespace fastmc {
+
+struct Scratch {
+  std::vector<int32_t> edge_vid;
+  std::vector<uint32_t> edge_epoch;
+  uint32_t epoch = 0;
+  std::vector<uint64_t> sgn;
+  std::vector<float> val;    // mise lattice values
+  std::vector<uint8_t> kn;   // mise known flags
+
+  void begin(size_t n_edges) {
+    if (edge_vid.size() < n_edges) {
+      edge_vid.resize(n_edges);
+      edge_epoch.assign(n_edges, 0);
+      epoch = 0;
+    }
+    if (++epoch == 0) {  // stamp wraparound: clear once every 2^32 calls
+      std::fill(edge_epoch.begin(), edge_epoch.end(), 0);
+      epoch = 1;
+    }
+  }
+};
+
+static thread_local Scratch g_scratch;
+
+struct Acc {
+  std::vector<double> verts;
+  std::vector<int> tris;
+  Scratch *scr;
+
+  // key = node_key(min corner) * 3 + axis
+  inline int edge_vertex(size_t key, const V3 &pa, const V3 &pb, double va,
+                         double vb, double iso) {
+    if (scr->edge_epoch[key] == scr->epoch) return scr->edge_vid[key];
+    double t = (iso - va) / (vb - va);
+    if (!(t >= 0.0)) t = 0.0;
+    if (!(t <= 1.0)) t = 1.0;
+    int idx = (int)(verts.size() / 3);
+    verts.push_back(pa.x + t * (pb.x - pa.x));
+    verts.push_back(pa.y + t * (pb.y - pa.y));
+    verts.push_back(pa.z + t * (pb.z - pa.z));
+    scr->edge_epoch[key] = scr->epoch;
+    scr->edge_vid[key] = idx;
+    return idx;
+  }
+};
+
+// per-edge (min local corner, axis), precomputed from mc::EDGE_V
+struct EdgeMeta {
+  int vmin[12];
+  int axis[12];
+  EdgeMeta() {
+    for (int e = 0; e < 12; ++e) {
+      int a = mc::EDGE_V[e][0], b = mc::EDGE_V[e][1];
+      vmin[e] = a & b;  // corners differ in one bit -> AND is the min corner
+      axis[e] = mc::edge_axis_of(a, b);
+    }
+  }
+};
+static const EdgeMeta g_edge_meta;
+
+// Tessellate one mixed cell at (x, y, z) of a lattice with row strides
+// (sy = side of y, sz = side of z). cv holds the 8 corner values in the
+// dx*4+dy*2+dz order; the caller computed cmask.
+inline void tess_cell(Acc &acc, int x, int y, int z, int ny, int nz,
+                      const double cv[8], int cmask, double iso) {
+  static const int CO[8][3] = {{0,0,0},{0,0,1},{0,1,0},{0,1,1},
+                               {1,0,0},{1,0,1},{1,1,0},{1,1,1}};
+  const auto &mc_table = mc::case_table();
+  for (const auto &loop : mc_table.loops[cmask]) {
+    int first = -1, prev = -1;
+    for (size_t i = 0; i < loop.size(); ++i) {
+      int e = loop[i];
+      int a = mc::EDGE_V[e][0], b = mc::EDGE_V[e][1];
+      int m = g_edge_meta.vmin[e];
+      size_t corner_key =
+          ((size_t)(x + CO[m][0]) * ny + (y + CO[m][1])) * nz + (z + CO[m][2]);
+      size_t key = corner_key * 3 + g_edge_meta.axis[e];
+      V3 pa{(double)(x + CO[a][0]), (double)(y + CO[a][1]),
+            (double)(z + CO[a][2])};
+      V3 pb{(double)(x + CO[b][0]), (double)(y + CO[b][1]),
+            (double)(z + CO[b][2])};
+      int vid = acc.edge_vertex(key, pa, pb, cv[a], cv[b], iso);
+      if (i == 0) {
+        first = vid;
+      } else if (i >= 2) {
+        acc.tris.push_back(first);
+        acc.tris.push_back(prev);
+        acc.tris.push_back(vid);
+      }
+      prev = vid;
+    }
+  }
+}
+
+// Scan all (nx-1, ny-1, nz-1) cells of a packed sign field, invoking
+// `emit(x, y, z)` only on mixed-sign cells, in exact lexicographic order.
+// sgn layout: (nx, ny, W) words, W = ceil(nz / 64), bit z of word z/64.
+template <class Emit>
+inline void scan_mixed(const uint64_t *sgn, int nx, int ny, int nz,
+                       Emit &&emit) {
+  const int W = (nz + 63) >> 6;
+  for (int x = 0; x < nx - 1; ++x)
+    for (int y = 0; y < ny - 1; ++y) {
+      const uint64_t *r00 = sgn + ((size_t)x * ny + y) * W;
+      const uint64_t *r01 = r00 + W;
+      const uint64_t *r10 = r00 + (size_t)ny * W;
+      const uint64_t *r11 = r10 + W;
+      for (int w = 0; w < W; ++w) {
+        int ncell = nz - 1 - (w << 6);  // valid cell bits in this word
+        if (ncell <= 0) break;
+        uint64_t o = r00[w] | r01[w] | r10[w] | r11[w];
+        uint64_t a = r00[w] & r01[w] & r10[w] & r11[w];
+        uint64_t o1, a1;
+        if (w + 1 < W) {
+          uint64_t on = r00[w + 1] | r01[w + 1] | r10[w + 1] | r11[w + 1];
+          uint64_t an = r00[w + 1] & r01[w + 1] & r10[w + 1] & r11[w + 1];
+          o1 = (o >> 1) | (on << 63);
+          a1 = (a >> 1) | (an << 63);
+        } else {
+          o1 = o >> 1;
+          a1 = a >> 1;
+        }
+        uint64_t mixed = ~((a & a1) | (~o & ~o1));
+        if (ncell < 64) mixed &= ((uint64_t)1 << ncell) - 1;
+        while (mixed) {
+          int z = (w << 6) + __builtin_ctzll(mixed);
+          mixed &= mixed - 1;
+          emit(x, y, z);
+        }
+      }
+    }
+}
+
+// Work-stealing parallel for over proposals. Thread count =
+// RFDNET_MESH_THREADS env or hardware_concurrency, clamped to the job
+// count — on a 1-core host this degrades to the plain serial loop with
+// zero thread spawns. Each worker uses its own thread_local Scratch.
+static int n_threads(int njobs) {
+  const char *env = getenv("RFDNET_MESH_THREADS");
+  int n = env ? atoi(env) : (int)std::thread::hardware_concurrency();
+  if (n < 1) n = 1;
+  if (n > njobs) n = njobs;
+  return n;
+}
+
+template <class Fn>
+static void parallel_for(int njobs, Fn &&fn) {
+  int nt = n_threads(njobs);
+  if (nt <= 1) {
+    for (int i = 0; i < njobs; ++i) fn(i);
+    return;
+  }
+  std::atomic<int> next{0};
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  for (int t = 0; t < nt; ++t)
+    ts.emplace_back([&] {
+      int i;
+      while ((i = next.fetch_add(1)) < njobs) fn(i);
+    });
+  for (auto &t : ts) t.join();
+}
+
+// Batch result: per-proposal meshes kept in their Acc storage (no
+// concatenation memcpy); the caller reads each proposal's buffers
+// through batch_mesh_get and frees the whole thing once.
+struct BatchResult {
+  std::vector<Acc> accs;
+};
+
+}  // namespace fastmc
 
 }  // namespace
 
@@ -200,46 +393,34 @@ extern "C" {
 // through the same cache as mt_extract, so the output is vertex-welded.
 int mc_extract(const float *grid, int nx, int ny, int nz, float iso,
                double **out_verts, int **out_tris, int *out_nv, int *out_nt) {
-  const auto &mc_table = mc::case_table();
-  MeshAcc acc;
-  auto val_at = [&](int x, int y, int z) {
-    return (double)grid[((size_t)x * ny + y) * nz + z];
-  };
+  mc::case_table();  // materialize before any cells emit
+  fastmc::Scratch &scr = fastmc::g_scratch;
+  scr.begin((size_t)nx * ny * nz * 3);
+  fastmc::Acc acc;
+  acc.scr = &scr;
+  // packed corner signs: one uint64 covers 64 lattice points along z
+  const int W = (nz + 63) >> 6;
+  scr.sgn.assign((size_t)nx * ny * W, 0);
+  for (int x = 0; x < nx; ++x)
+    for (int y = 0; y < ny; ++y) {
+      const float *row = grid + ((size_t)x * ny + y) * nz;
+      uint64_t *out = &scr.sgn[((size_t)x * ny + y) * W];
+      for (int z = 0; z < nz; ++z)
+        if ((double)row[z] > iso) out[z >> 6] |= (uint64_t)1 << (z & 63);
+    }
   static const int CO[8][3] = {{0,0,0},{0,0,1},{0,1,0},{0,1,1},
                                {1,0,0},{1,0,1},{1,1,0},{1,1,1}};
-  for (int x = 0; x < nx - 1; ++x)
-    for (int y = 0; y < ny - 1; ++y)
-      for (int z = 0; z < nz - 1; ++z) {
+  fastmc::scan_mixed(
+      scr.sgn.data(), nx, ny, nz, [&](int x, int y, int z) {
         double cv[8];
-        uint64_t ck[8];
-        V3 cp[8];
-        int mask = 0;
+        int cmask = 0;
         for (int c = 0; c < 8; ++c) {
-          int cx = x + CO[c][0], cy = y + CO[c][1], cz = z + CO[c][2];
-          cv[c] = val_at(cx, cy, cz);
-          ck[c] = node_key(cx, cy, cz, ny, nz);
-          cp[c] = V3{(double)cx, (double)cy, (double)cz};
-          if (cv[c] > iso) mask |= 1 << c;
+          cv[c] = (double)grid[((size_t)(x + CO[c][0]) * ny + (y + CO[c][1]))
+                                   * nz + (z + CO[c][2])];
+          if (cv[c] > iso) cmask |= 1 << c;
         }
-        if (mask == 0 || mask == 255) continue;
-        for (const auto &loop : mc_table.loops[mask]) {
-          int first = -1, prev = -1;
-          for (size_t i = 0; i < loop.size(); ++i) {
-            int e = loop[i];
-            int a = mc::EDGE_V[e][0], b = mc::EDGE_V[e][1];
-            int vid = acc.edge_vertex(ck[a], ck[b], cp[a], cp[b],
-                                      cv[a], cv[b], iso);
-            if (i == 0) {
-              first = vid;
-            } else if (i >= 2) {
-              acc.tris.push_back(first);
-              acc.tris.push_back(prev);
-              acc.tris.push_back(vid);
-            }
-            prev = vid;
-          }
-        }
-      }
+        fastmc::tess_cell(acc, x, y, z, ny, nz, cv, cmask, iso);
+      });
   *out_nv = (int)(acc.verts.size() / 3);
   *out_nt = (int)(acc.tris.size() / 3);
   double *v = new double[acc.verts.size()];
@@ -602,6 +783,362 @@ struct MiseTree {
   }
 };
 
+namespace {
+
+// One proposal's sparse-replay marching cubes into `acc` (see
+// mise_mc_extract's contract). The final ancestor-fill level (h=1, which
+// visits every lattice point) is FUSED with the packed-sign build so the
+// lattice is swept once instead of twice.
+void mise_one(const float *lvl0, int res0, int steps, const int32_t *idx,
+              const float *vals, const int32_t *level_counts, double iso,
+              float pad_val, fastmc::Acc &acc) {
+  const int R = res0 << steps;
+  const int R1 = R + 1;
+  const size_t n_lat = (size_t)R1 * R1 * R1;
+  fastmc::Scratch &scr = fastmc::g_scratch;
+  acc.scr = &scr;
+  std::vector<float> &val = scr.val;
+  std::vector<uint8_t> &kn = scr.kn;
+  val.resize(n_lat);
+  kn.assign(n_lat, 0);
+  auto lat = [R1](int x, int y, int z) {
+    return ((size_t)x * R1 + y) * R1 + z;
+  };
+
+  // ---- scatter level 0
+  const int n01 = res0 + 1;
+  for (int x = 0; x <= res0; ++x)
+    for (int y = 0; y <= res0; ++y) {
+      float *row = &val[lat(x << steps, y << steps, 0)];
+      uint8_t *krow = &kn[lat(x << steps, y << steps, 0)];
+      const float *src = lvl0 + ((size_t)x * n01 + y) * n01;
+      for (int z = 0; z <= res0; ++z) {
+        row[(size_t)z << steps] = src[z];
+        krow[(size_t)z << steps] = 1;
+      }
+    }
+
+  // ---- scatter refinement levels
+  const int32_t *idx_l = idx;
+  const float *vals_l = vals;
+  for (int l = 0; l < steps; ++l) {
+    const int s = 1 << (steps - l), h = s >> 1;
+    const int off[3] = {0, h, s};
+    const int64_t n = (int64_t)res0 << l;
+    const int m = level_counts[l];
+    for (int e = 0; e < m; ++e) {
+      int64_t v = idx_l[e];
+      int bi = (int)(v / (n * n)) * s;
+      int bj = (int)((v / n) % n) * s;
+      int bk = (int)(v % n) * s;
+      const float *w = vals_l + (size_t)e * 27;
+      int q = 0;
+      for (int a = 0; a <= 2; ++a)
+        for (int b = 0; b <= 2; ++b)
+          for (int c = 0; c <= 2; ++c, ++q) {
+            size_t p = lat(bi + off[a], bj + off[b], bk + off[c]);
+            val[p] = w[q];
+            kn[p] = 1;
+          }
+    }
+    idx_l += m;
+    vals_l += (size_t)m * 27;
+  }
+
+  // ---- packed corner signs over the padded lattice
+  const int P = R + 3;  // padded lattice side
+  scr.begin((size_t)P * P * P * 3);
+  const int W = (P + 63) >> 6;
+  const bool pad_in = (double)pad_val > iso;
+  std::vector<uint64_t> pad_word(W);
+  for (int w = 0; w < W; ++w) {
+    int nbits = P - (w << 6);
+    uint64_t m = nbits >= 64 ? ~(uint64_t)0
+                             : (((uint64_t)1 << (nbits < 0 ? 0 : nbits)) - 1);
+    pad_word[w] = pad_in ? m : 0;
+  }
+  scr.sgn.assign((size_t)P * P * W, 0);
+  // pad boundary rows (x or y on the pad layer): whole row = pad sign
+  for (int x = 0; x < P; x += P - 1)
+    for (int y = 0; y < P; ++y) {
+      uint64_t *out = &scr.sgn[((size_t)x * P + y) * W];
+      for (int w = 0; w < W; ++w) out[w] = pad_word[w];
+    }
+  for (int y = 0; y < P; y += P - 1)
+    for (int x = 1; x < P - 1; ++x) {
+      uint64_t *out = &scr.sgn[((size_t)x * P + y) * W];
+      for (int w = 0; w < W; ++w) out[w] = pad_word[w];
+    }
+
+  // ---- ancestor fill (exact replay of the device to_dense rule; the
+  // stride floors are masks since s is a power of two). Levels before
+  // the last touch sub-lattices; the LAST level (h=1) visits every
+  // point, so the packed-sign build rides the same sweep.
+  for (int l = 0; l + 1 < steps; ++l) {
+    const int s = 1 << (steps - l), h = s >> 1;
+    const int m = ~(s - 1);
+    for (int x = 0; x <= R; x += h) {
+      const size_t ax = lat(x & m, 0, 0);
+      for (int y = 0; y <= R; y += h) {
+        const size_t axy = ax + (size_t)(y & m) * R1;
+        float *row = &val[lat(x, y, 0)];
+        uint8_t *krow = &kn[lat(x, y, 0)];
+        const float *arow = &val[axy];
+        for (int z = 0; z <= R; z += h)
+          if (!krow[z]) {
+            row[z] = arow[z & m];
+            krow[z] = 1;
+          }
+      }
+    }
+  }
+  if (steps >= 1) {
+    // last fill level (s=2) fused with sign packing; kn stores skipped
+    // (nothing reads kn afterwards)
+    for (int x = 0; x <= R; ++x) {
+      const size_t ax = lat(x & ~1, 0, 0);
+      for (int y = 0; y <= R; ++y) {
+        float *row = &val[lat(x, y, 0)];
+        const uint8_t *krow = &kn[lat(x, y, 0)];
+        const float *arow = &val[ax + (size_t)(y & ~1) * R1];
+        uint64_t *out = &scr.sgn[((size_t)(x + 1) * P + (y + 1)) * W];
+        if (pad_in) {
+          out[0] |= 1;
+          out[(P - 1) >> 6] |= (uint64_t)1 << ((P - 1) & 63);
+        }
+        for (int z = 0; z <= R; ++z) {
+          float v = krow[z] ? row[z] : (row[z] = arow[z & ~1]);
+          if ((double)v > iso) {
+            int bit = z + 1;
+            out[bit >> 6] |= (uint64_t)1 << (bit & 63);
+          }
+        }
+      }
+    }
+  } else {
+    // steps == 0: the lattice is fully known; pack directly
+    for (int x = 0; x <= R; ++x)
+      for (int y = 0; y <= R; ++y) {
+        const float *row = &val[lat(x, y, 0)];
+        uint64_t *out = &scr.sgn[((size_t)(x + 1) * P + (y + 1)) * W];
+        if (pad_in) {
+          out[0] |= 1;
+          out[(P - 1) >> 6] |= (uint64_t)1 << ((P - 1) & 63);
+        }
+        for (int z = 0; z <= R; ++z)
+          if ((double)row[z] > iso) {
+            int bit = z + 1;
+            out[bit >> 6] |= (uint64_t)1 << (bit & 63);
+          }
+      }
+  }
+
+  // ---- marching cubes over the padded cells, lexicographic order
+  auto val_at = [&](int x, int y, int z) -> double {
+    if (x == 0 || y == 0 || z == 0 || x == P - 1 || y == P - 1 ||
+        z == P - 1)
+      return (double)pad_val;
+    return (double)val[lat(x - 1, y - 1, z - 1)];
+  };
+  mc::case_table();
+  static const int CO[8][3] = {{0,0,0},{0,0,1},{0,1,0},{0,1,1},
+                               {1,0,0},{1,0,1},{1,1,0},{1,1,1}};
+  fastmc::scan_mixed(
+      scr.sgn.data(), P, P, P, [&](int x, int y, int z) {
+        double cv[8];
+        int cmask = 0;
+        for (int c = 0; c < 8; ++c) {
+          cv[c] = val_at(x + CO[c][0], y + CO[c][1], z + CO[c][2]);
+          if (cv[c] > iso) cmask |= 1 << c;
+        }
+        fastmc::tess_cell(acc, x, y, z, P, P, cv, cmask, iso);
+      });
+}
+
+// Marching cubes from a proposal's TRANSFER-SPARSE form (device
+// `sparsify_grids`): packed per-point sign bits (np.packbits big-bit
+// order) + the values of "needed" points — those whose 3^3 neighborhood
+// in the pad_val-padded lattice has mixed signs (every corner of every
+// mixed cell is needed) — in ascending point order. Rebuilds the padded
+// sign field, replays the same needed-mask derivation to scatter the m
+// values, and runs the identical scan+tessellation, so the output is
+// byte-identical to mc_one_padded over the dense grid. Returns -1 if the
+// host-derived needed count disagrees with m (caller falls back dense).
+int mc_one_bits(const uint8_t *bits, const float *vals, int m,
+                int nx, int ny, int nz, double iso, float pad_val,
+                fastmc::Acc &acc) {
+  const int PX = nx + 2, PY = ny + 2, PZ = nz + 2;
+  fastmc::Scratch &scr = fastmc::g_scratch;
+  acc.scr = &scr;
+  scr.begin((size_t)PX * PY * PZ * 3);
+  const int W = (PZ + 63) >> 6;
+  const bool pad_in = (double)pad_val > iso;
+  std::vector<uint64_t> pad_word(W);
+  for (int w = 0; w < W; ++w) {
+    int nbits = PZ - (w << 6);
+    uint64_t mk = nbits >= 64
+                      ? ~(uint64_t)0
+                      : (((uint64_t)1 << (nbits < 0 ? 0 : nbits)) - 1);
+    pad_word[w] = pad_in ? mk : 0;
+  }
+  // ---- padded sign words from the packed bits
+  scr.sgn.assign((size_t)PX * PY * W, 0);
+  for (int x = 0; x < PX; x += PX - 1)
+    for (int y = 0; y < PY; ++y) {
+      uint64_t *out = &scr.sgn[((size_t)x * PY + y) * W];
+      for (int w = 0; w < W; ++w) out[w] = pad_word[w];
+    }
+  for (int y = 0; y < PY; y += PY - 1)
+    for (int x = 1; x < PX - 1; ++x) {
+      uint64_t *out = &scr.sgn[((size_t)x * PY + y) * W];
+      for (int w = 0; w < W; ++w) out[w] = pad_word[w];
+    }
+  for (int x = 0; x < nx; ++x)
+    for (int y = 0; y < ny; ++y) {
+      uint64_t *out = &scr.sgn[((size_t)(x + 1) * PY + (y + 1)) * W];
+      if (pad_in) {
+        out[0] |= 1;
+        out[(PZ - 1) >> 6] |= (uint64_t)1 << ((PZ - 1) & 63);
+      }
+      size_t base = ((size_t)x * ny + y) * nz;
+      for (int z = 0; z < nz; ++z) {
+        size_t id = base + z;
+        if ((bits[id >> 3] >> (7 - (id & 7))) & 1) {
+          int b = z + 1;
+          out[b >> 6] |= (uint64_t)1 << (b & 63);
+        }
+      }
+    }
+
+  // ---- needed mask (27-neighborhood mixed signs) + value scatter in
+  // ascending point order — word-parallel over the padded rows
+  scr.val.resize((size_t)nx * ny * nz);
+  std::vector<uint64_t> anyw(W), allw(W);
+  int k = 0;
+  for (int x = 0; x < nx; ++x)
+    for (int y = 0; y < ny; ++y) {
+      for (int w = 0; w < W; ++w) {
+        anyw[w] = 0;
+        allw[w] = ~(uint64_t)0;
+      }
+      for (int dx = 0; dx <= 2; ++dx)
+        for (int dy = 0; dy <= 2; ++dy) {
+          const uint64_t *r =
+              &scr.sgn[((size_t)(x + dx) * PY + (y + dy)) * W];
+          for (int w = 0; w < W; ++w) {
+            uint64_t hi = (w + 1 < W) ? r[w + 1] : 0;
+            uint64_t s1 = (r[w] >> 1) | (hi << 63);
+            uint64_t s2 = (r[w] >> 2) | (hi << 62);
+            anyw[w] |= r[w] | s1 | s2;
+            allw[w] &= r[w] & s1 & s2;
+          }
+        }
+      size_t vbase = ((size_t)x * ny + y) * nz;
+      for (int w = 0; w < W; ++w) {
+        int maxz = nz - (w << 6);
+        if (maxz <= 0) break;
+        uint64_t need = anyw[w] & ~allw[w];
+        if (maxz < 64) need &= ((uint64_t)1 << maxz) - 1;
+        while (need) {
+          int z = (w << 6) + __builtin_ctzll(need);
+          need &= need - 1;
+          if (k >= m) return -1;
+          scr.val[vbase + z] = vals[k++];
+        }
+      }
+    }
+  if (k != m) return -1;
+
+  // ---- identical scan + tessellation (values from the scattered grid;
+  // non-needed entries are stale garbage but provably never read: the
+  // scan only visits mixed cells, whose corners are all needed)
+  auto val_at = [&](int x, int y, int z) -> double {
+    if (x == 0 || y == 0 || z == 0 || x == PX - 1 || y == PY - 1 ||
+        z == PZ - 1)
+      return (double)pad_val;
+    return (double)scr.val[((size_t)(x - 1) * ny + (y - 1)) * nz + (z - 1)];
+  };
+  mc::case_table();
+  static const int CO[8][3] = {{0,0,0},{0,0,1},{0,1,0},{0,1,1},
+                               {1,0,0},{1,0,1},{1,1,0},{1,1,1}};
+  fastmc::scan_mixed(
+      scr.sgn.data(), PX, PY, PZ, [&](int x, int y, int z) {
+        double cv[8];
+        int cmask = 0;
+        for (int c = 0; c < 8; ++c) {
+          cv[c] = val_at(x + CO[c][0], y + CO[c][1], z + CO[c][2]);
+          if (cv[c] > iso) cmask |= 1 << c;
+        }
+        fastmc::tess_cell(acc, x, y, z, PY, PZ, cv, cmask, iso);
+      });
+  return 0;
+}
+
+// One dense grid, implicitly padded with pad_val (no padded copy),
+// marching cubes into `acc`; vertices in padded index space.
+void mc_one_padded(const float *grid, int nx, int ny, int nz, double iso,
+                   float pad_val, fastmc::Acc &acc) {
+  const int PX = nx + 2, PY = ny + 2, PZ = nz + 2;
+  fastmc::Scratch &scr = fastmc::g_scratch;
+  acc.scr = &scr;
+  scr.begin((size_t)PX * PY * PZ * 3);
+  const int W = (PZ + 63) >> 6;
+  const bool pad_in = (double)pad_val > iso;
+  std::vector<uint64_t> pad_word(W);
+  for (int w = 0; w < W; ++w) {
+    int nbits = PZ - (w << 6);
+    uint64_t m = nbits >= 64 ? ~(uint64_t)0
+                             : (((uint64_t)1 << (nbits < 0 ? 0 : nbits)) - 1);
+    pad_word[w] = pad_in ? m : 0;
+  }
+  scr.sgn.assign((size_t)PX * PY * W, 0);
+  for (int x = 0; x < PX; x += PX - 1)
+    for (int y = 0; y < PY; ++y) {
+      uint64_t *out = &scr.sgn[((size_t)x * PY + y) * W];
+      for (int w = 0; w < W; ++w) out[w] = pad_word[w];
+    }
+  for (int y = 0; y < PY; y += PY - 1)
+    for (int x = 1; x < PX - 1; ++x) {
+      uint64_t *out = &scr.sgn[((size_t)x * PY + y) * W];
+      for (int w = 0; w < W; ++w) out[w] = pad_word[w];
+    }
+  for (int x = 0; x < nx; ++x)
+    for (int y = 0; y < ny; ++y) {
+      const float *row = grid + ((size_t)x * ny + y) * nz;
+      uint64_t *out = &scr.sgn[((size_t)(x + 1) * PY + (y + 1)) * W];
+      if (pad_in) {
+        out[0] |= 1;
+        out[(PZ - 1) >> 6] |= (uint64_t)1 << ((PZ - 1) & 63);
+      }
+      for (int z = 0; z < nz; ++z)
+        if ((double)row[z] > iso) {
+          int bit = z + 1;
+          out[bit >> 6] |= (uint64_t)1 << (bit & 63);
+        }
+    }
+  auto val_at = [&](int x, int y, int z) -> double {
+    if (x == 0 || y == 0 || z == 0 || x == PX - 1 || y == PY - 1 ||
+        z == PZ - 1)
+      return (double)pad_val;
+    return (double)grid[((size_t)(x - 1) * ny + (y - 1)) * nz + (z - 1)];
+  };
+  mc::case_table();
+  static const int CO[8][3] = {{0,0,0},{0,0,1},{0,1,0},{0,1,1},
+                               {1,0,0},{1,0,1},{1,1,0},{1,1,1}};
+  fastmc::scan_mixed(
+      scr.sgn.data(), PX, PY, PZ, [&](int x, int y, int z) {
+        double cv[8];
+        int cmask = 0;
+        for (int c = 0; c < 8; ++c) {
+          cv[c] = val_at(x + CO[c][0], y + CO[c][1], z + CO[c][2]);
+          if (cv[c] > iso) cmask |= 1 << c;
+        }
+        fastmc::tess_cell(acc, x, y, z, PY, PZ, cv, cmask, iso);
+      });
+}
+
+}  // namespace
+
 extern "C" {
 
 void *mise_create(int resolution_0, int depth, double threshold) {
@@ -664,136 +1201,8 @@ int mise_mc_extract(const float *lvl0, int res0, int steps,
                     const int32_t *level_counts, float iso, float pad_val,
                     double **out_verts, int **out_tris,
                     int *out_nv, int *out_nt) {
-  const int R = res0 << steps;
-  const int R1 = R + 1;
-  const size_t n_lat = (size_t)R1 * R1 * R1;
-  std::vector<float> val(n_lat);
-  std::vector<uint8_t> kn(n_lat, 0);
-  auto lat = [R1](int x, int y, int z) {
-    return ((size_t)x * R1 + y) * R1 + z;
-  };
-
-  // ---- scatter level 0
-  const int n01 = res0 + 1;
-  for (int x = 0; x <= res0; ++x)
-    for (int y = 0; y <= res0; ++y)
-      for (int z = 0; z <= res0; ++z) {
-        size_t p = lat(x << steps, y << steps, z << steps);
-        val[p] = lvl0[((size_t)x * n01 + y) * n01 + z];
-        kn[p] = 1;
-      }
-
-  // ---- scatter refinement levels
-  const int CN = R + 2;  // padded cell grid side
-  const int32_t *idx_l = idx;
-  const float *vals_l = vals;
-  for (int l = 0; l < steps; ++l) {
-    const int s = 1 << (steps - l), h = s >> 1;
-    const int off[3] = {0, h, s};
-    const int64_t n = (int64_t)res0 << l;
-    const int m = level_counts[l];
-    for (int e = 0; e < m; ++e) {
-      int64_t v = idx_l[e];
-      int bi = (int)(v / (n * n)) * s;
-      int bj = (int)((v / n) % n) * s;
-      int bk = (int)(v % n) * s;
-      const float *w = vals_l + (size_t)e * 27;
-      int q = 0;
-      for (int a = 0; a <= 2; ++a)
-        for (int b = 0; b <= 2; ++b)
-          for (int c = 0; c <= 2; ++c, ++q) {
-            size_t p = lat(bi + off[a], bj + off[b], bk + off[c]);
-            val[p] = w[q];
-            kn[p] = 1;
-          }
-    }
-    idx_l += m;
-    vals_l += (size_t)m * 27;
-  }
-
-  // ---- ancestor fill (exact replay of the device to_dense rule)
-  for (int l = 0; l < steps; ++l) {
-    const int s = 1 << (steps - l), h = s >> 1;
-    for (int x = 0; x <= R; x += h)
-      for (int y = 0; y <= R; y += h)
-        for (int z = 0; z <= R; z += h) {
-          size_t p = lat(x, y, z);
-          if (!kn[p]) {
-            val[p] = val[lat(x / s * s, y / s * s, z / s * s)];
-            kn[p] = 1;
-          }
-        }
-  }
-
-  // ---- precompute one sign byte per padded lattice point; a cell
-  // whose 8 corner bytes agree cannot cross the iso and is skipped
-  // with no double loads
-  const int P = R + 3;  // padded lattice side
-  auto val_at = [&](int x, int y, int z) -> double {
-    if (x == 0 || y == 0 || z == 0 || x == P - 1 || y == P - 1 ||
-        z == P - 1)
-      return (double)pad_val;
-    return (double)val[lat(x - 1, y - 1, z - 1)];
-  };
-  std::vector<uint8_t> sgn((size_t)P * P * P);
-  const uint8_t pad_sgn = (double)pad_val > iso ? 1 : 0;
-  std::fill(sgn.begin(), sgn.end(), pad_sgn);
-  for (int x = 1; x < P - 1; ++x)
-    for (int y = 1; y < P - 1; ++y) {
-      uint8_t *row = &sgn[((size_t)x * P + y) * P + 1];
-      const float *vrow = &val[lat(x - 1, y - 1, 0)];
-      for (int z = 0; z < P - 2; ++z)
-        row[z] = (double)vrow[z] > iso ? 1 : 0;
-    }
-
-  // ---- marching cubes over all padded cells, lexicographic order
-  const auto &mc_table = mc::case_table();
-  MeshAcc acc;
-  static const int CO[8][3] = {{0,0,0},{0,0,1},{0,1,0},{0,1,1},
-                               {1,0,0},{1,0,1},{1,1,0},{1,1,1}};
-  const size_t SX = (size_t)P * P, SY = P;
-  for (int x = 0; x < CN; ++x)
-    for (int y = 0; y < CN; ++y) {
-      const uint8_t *s00 = &sgn[(size_t)x * SX + (size_t)y * SY];
-      const uint8_t *s01 = s00 + SY, *s10 = s00 + SX, *s11 = s10 + SY;
-      for (int z = 0; z < CN; ++z) {
-        uint8_t first_s = s00[z];
-        if (s00[z + 1] == first_s && s01[z] == first_s &&
-            s01[z + 1] == first_s && s10[z] == first_s &&
-            s10[z + 1] == first_s && s11[z] == first_s &&
-            s11[z + 1] == first_s)
-          continue;
-        double cv[8];
-        uint64_t ck[8];
-        V3 cp[8];
-        int cmask = 0;
-        for (int c = 0; c < 8; ++c) {
-          int cx = x + CO[c][0], cy = y + CO[c][1], cz = z + CO[c][2];
-          cv[c] = val_at(cx, cy, cz);
-          ck[c] = node_key(cx, cy, cz, P, P);
-          cp[c] = V3{(double)cx, (double)cy, (double)cz};
-          if (cv[c] > iso) cmask |= 1 << c;
-        }
-        if (cmask == 0 || cmask == 255) continue;
-        for (const auto &loop : mc_table.loops[cmask]) {
-          int first = -1, prev = -1;
-          for (size_t i = 0; i < loop.size(); ++i) {
-            int e = loop[i];
-            int a = mc::EDGE_V[e][0], b = mc::EDGE_V[e][1];
-            int vid = acc.edge_vertex(ck[a], ck[b], cp[a], cp[b],
-                                      cv[a], cv[b], iso);
-            if (i == 0) {
-              first = vid;
-            } else if (i >= 2) {
-              acc.tris.push_back(first);
-              acc.tris.push_back(prev);
-              acc.tris.push_back(vid);
-            }
-            prev = vid;
-          }
-        }
-      }
-    }
+  fastmc::Acc acc;
+  mise_one(lvl0, res0, steps, idx, vals, level_counts, iso, pad_val, acc);
   *out_nv = (int)(acc.verts.size() / 3);
   *out_nt = (int)(acc.tris.size() / 3);
   double *ov = new double[acc.verts.size()];
@@ -804,5 +1213,121 @@ int mise_mc_extract(const float *lvl0, int res0, int steps,
   *out_tris = ot;
   return 0;
 }
+
+// Batched mise_mc_extract over n proposals in ONE call (the per-call
+// Python/ctypes overhead was ~comparable to the extraction itself), with
+// a gated worker pool across proposals (fastmc::parallel_for — serial on
+// a 1-core host). Layout: level_counts (n, steps) row-major; idx/vals
+// concatenated in (proposal, level) order; valid=NULL or (n,) uint8 —
+// invalid proposals produce empty meshes. Returns a handle: read each
+// proposal's buffers with batch_mesh_get (zero-copy views into the
+// result), free once with batch_result_free.
+void *mise_mc_extract_batch(const float *lvl0s, int n, int res0, int steps,
+                            const int32_t *idx, const float *vals,
+                            const int32_t *level_counts, float iso,
+                            float pad_val, const uint8_t *valid,
+                            int32_t *nv_per, int32_t *nt_per) {
+  const size_t lvl0_sz =
+      (size_t)(res0 + 1) * (res0 + 1) * (res0 + 1);
+  // per-proposal offsets into idx/vals
+  std::vector<size_t> off(n + 1, 0);
+  for (int i = 0; i < n; ++i) {
+    size_t c = 0;
+    for (int l = 0; l < steps; ++l) c += (size_t)level_counts[i * steps + l];
+    off[i + 1] = off[i] + c;
+  }
+  mc::case_table();  // build once before threads fan out
+  auto *res = new fastmc::BatchResult;
+  res->accs.resize(n);
+  fastmc::parallel_for(n, [&](int i) {
+    if (valid && !valid[i]) return;
+    mise_one(lvl0s + (size_t)i * lvl0_sz, res0, steps, idx + off[i],
+             vals + off[i] * 27, level_counts + (size_t)i * steps, iso,
+             pad_val, res->accs[i]);
+  });
+  for (int i = 0; i < n; ++i) {
+    nv_per[i] = (int32_t)(res->accs[i].verts.size() / 3);
+    nt_per[i] = (int32_t)(res->accs[i].tris.size() / 3);
+  }
+  return res;
+}
+
+// Batched padded marching cubes over n dense (nx, ny, nz) grids: each is
+// conceptually padded with one pad_val layer per side (the reference's
+// -1e6 boundary close, `generator.py:157`) WITHOUT materializing the
+// padded copy; vertices come back in padded index space, byte-identical
+// to mc_extract over np.pad(grid, 1, constant_values=pad_val). Same
+// handle contract as mise_mc_extract_batch.
+void *mc_extract_batch(const float *grids, int n, int nx, int ny, int nz,
+                       float iso, float pad_val, const uint8_t *valid,
+                       int32_t *nv_per, int32_t *nt_per) {
+  mc::case_table();
+  auto *res = new fastmc::BatchResult;
+  res->accs.resize(n);
+  fastmc::parallel_for(n, [&](int i) {
+    if (valid && !valid[i]) return;
+    mc_one_padded(grids + (size_t)i * nx * ny * nz, nx, ny, nz, iso,
+                  pad_val, res->accs[i]);
+  });
+  for (int i = 0; i < n; ++i) {
+    nv_per[i] = (int32_t)(res->accs[i].verts.size() / 3);
+    nt_per[i] = (int32_t)(res->accs[i].tris.size() / 3);
+  }
+  return res;
+}
+
+// Single-proposal implicitly-padded marching cubes (the per-proposal
+// fast path on 1-core hosts: no np.pad copy, warm allocator reuse —
+// batching keeps 64 growing result vectors live at once, whose cold
+// first-touch pages cost more than the saved call overhead there).
+int mc_extract_padded(const float *grid, int nx, int ny, int nz, float iso,
+                      float pad_val, double **out_verts, int **out_tris,
+                      int *out_nv, int *out_nt) {
+  fastmc::Acc acc;
+  mc_one_padded(grid, nx, ny, nz, iso, pad_val, acc);
+  *out_nv = (int)(acc.verts.size() / 3);
+  *out_nt = (int)(acc.tris.size() / 3);
+  double *ov = new double[acc.verts.size()];
+  int *ot = new int[acc.tris.size()];
+  std::memcpy(ov, acc.verts.data(), acc.verts.size() * sizeof(double));
+  std::memcpy(ot, acc.tris.data(), acc.tris.size() * sizeof(int));
+  *out_verts = ov;
+  *out_tris = ot;
+  return 0;
+}
+
+// Worker-pool width the batch entries would use (lets the caller pick
+// batch vs per-proposal dispatch).
+int mesh_threads(int njobs) { return fastmc::n_threads(njobs); }
+
+// Single-proposal marching cubes from the transfer-sparse grid form
+// (see mc_one_bits). Returns nonzero if the needed-count disagrees with
+// m (the caller then falls back to a dense download).
+int mc_extract_bits(const uint8_t *bits, const float *vals, int m, int nx,
+                    int ny, int nz, float iso, float pad_val,
+                    double **out_verts, int **out_tris, int *out_nv,
+                    int *out_nt) {
+  fastmc::Acc acc;
+  int rc = mc_one_bits(bits, vals, m, nx, ny, nz, iso, pad_val, acc);
+  if (rc != 0) return rc;
+  *out_nv = (int)(acc.verts.size() / 3);
+  *out_nt = (int)(acc.tris.size() / 3);
+  double *ov = new double[acc.verts.size()];
+  int *ot = new int[acc.tris.size()];
+  std::memcpy(ov, acc.verts.data(), acc.verts.size() * sizeof(double));
+  std::memcpy(ot, acc.tris.data(), acc.tris.size() * sizeof(int));
+  *out_verts = ov;
+  *out_tris = ot;
+  return 0;
+}
+
+// Zero-copy views into one proposal's mesh inside a batch result.
+void batch_mesh_get(void *h, int i, double **verts, int **tris) {
+  auto &acc = ((fastmc::BatchResult *)h)->accs[i];
+  *verts = acc.verts.data();
+  *tris = acc.tris.data();
+}
+
+void batch_result_free(void *h) { delete (fastmc::BatchResult *)h; }
 
 }  // extern "C"

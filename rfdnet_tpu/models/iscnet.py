@@ -484,6 +484,7 @@ class ISCNet(nn.Module):
         }
 
     def generate(self, data, nms_iou=0.25, use_cls_nms=True,
+                 grid_sparse_budget=None, grid_iso=0.0,
                  dump_threshold=0.5, export_voxels=True,
                  remove_empty_box=False, decode_grid_res=None,
                  grid_padding=0.1, grid_rng=None, grid_dtype=None,
@@ -539,7 +540,17 @@ class ISCNet(nn.Module):
                 valid_mask=gen["valid"].reshape(B * G),
             )
             out["completion_loss"] = completion_loss
-            out["shape_voxels"] = voxels
+            if voxels is not None:
+                # transfer as packed occupancy bits: the only consumer is
+                # the voxel-IoU stat, which thresholds at 0.5
+                # (`external/common.py:7-35`); 16^3 f32 -> 512 B/proposal
+                # (32x less device->host traffic on the tunnel)
+                B_, G_ = gen["proposal_ids"].shape[:2]
+                out["shape_voxels_bits"] = jnp.packbits(
+                    (voxels >= 0.5).reshape(B_ * G_, -1), axis=-1
+                )
+            else:
+                out["shape_voxels_bits"] = None
         if decode_grid_res:
             from .occnet import make_3d_grid
 
@@ -559,7 +570,27 @@ class ISCNet(nn.Module):
                 # 65504 would overflow to inf and NaN the marching-cubes
                 # vertex interpolation; sign/threshold is unaffected
                 logits = jnp.clip(logits, -6e4, 6e4).astype(grid_dtype)
-            out["grids"] = logits.reshape(Nb, nx, nx, nx)
+            grids = logits.reshape(Nb, nx, nx, nx)
+            if grid_sparse_budget:
+                # transfer-sparse form: one sign bit per lattice point +
+                # the iso-neighborhood values (meshing/mise_device.py
+                # sparsify_grids) — marching cubes needs nothing else,
+                # and the dense f16 grids are the protocol's dominant
+                # device->host payload (~4.2 MB/scene)
+                from ..meshing.mise_device import sparsify_grids
+
+                # grid_iso must equal the host extractor's logit
+                # threshold (logit(data.threshold); 0.0 for the shipped
+                # threshold=0.5)
+                bits, vals, counts = sparsify_grids(
+                    grids, float(grid_iso), int(grid_sparse_budget),
+                    valid=gen["valid"].reshape(Nb),
+                )
+                out["grid_bits"] = bits
+                out["grid_vals"] = vals
+                out["grid_counts"] = counts
+            else:
+                out["grids"] = grids
         return out
 
     def decode_occupancy(self, features, cls_codes, points, rng=None,

@@ -85,9 +85,23 @@ class CheckpointIO:
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
 
-    def load(self, path: str):
+    def load(self, path: str, template=None):
+        """Restore {state, meta}. With `template` (a TrainState), orbax
+        restores into the live pytree structure (optax NamedTuples etc.);
+        without it the result is raw nested dicts/lists — fine for
+        params/batch_stats partial loads, NOT for resuming an optimizer."""
         # orbax/tensorstore requires absolute paths
-        restored = self._ckptr.restore(os.path.abspath(path))
+        path = os.path.abspath(path)
+        raw = self._ckptr.restore(path)
+        if template is None:
+            return raw["state"], raw.get("meta", {})
+        # re-restore with the live pytree as target; meta's template is
+        # the raw dict itself (its keys vary across save sites)
+        tmpl = {
+            "state": jax.tree_util.tree_map(np.asarray, template),
+            "meta": raw.get("meta", {}),
+        }
+        restored = self._ckptr.restore(path, tmpl)
         return restored["state"], restored.get("meta", {})
 
     def save_last(self, state, meta=None):
@@ -107,7 +121,7 @@ class CheckpointIO:
             p = os.path.join(parent, run, "model_last")
             if os.path.isdir(p):
                 try:
-                    state, meta = self.load(p)
+                    state, meta = self.load(p, template=state_template)
                     self.log(f"resumed from {p}")
                     return state, meta
                 except Exception as e:  # corrupted run dir: keep scanning

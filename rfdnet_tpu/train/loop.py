@@ -180,6 +180,7 @@ def train(cfg, model, dataset_config, train_loader, val_loader,
 
     min_loss = np.inf
     if checkpoint is not None:
+        resumed = False
         if cfg.config.get("resume"):
             state, meta = checkpoint.resume(trainer.state)
             if state is not None:
@@ -190,7 +191,12 @@ def train(cfg, model, dataset_config, train_loader, val_loader,
                 start_epoch = int(meta.get("epoch", 0)) + 1
                 min_loss = float(meta.get("min_loss", np.inf))
                 trainer.plateau.lr = float(meta.get("lr", trainer.plateau.lr))
-        elif cfg.config.get("finetune"):
+                trainer.plateau.best = min_loss
+                resumed = True
+        # resume falls through to finetune when no prior checkpoint exists
+        # (reference `parse_checkpoint` boot-mode precedence,
+        # `net_utils/utils.py:86-100`)
+        if not resumed and cfg.config.get("finetune"):
             for w in cfg.config.get("weight", []):
                 trainer.state = checkpoint.finetune(trainer.state, w)
 
@@ -213,6 +219,14 @@ def train(cfg, model, dataset_config, train_loader, val_loader,
         if trainer.plateau.lr != prev_lr:
             log(f"epoch {epoch}: plateau patience exceeded, "
                 f"LR {prev_lr:.2e} -> {trainer.plateau.lr:.2e}")
+        if board is not None:
+            # per-epoch schedule evidence (`models/optimizers.py:42-60`)
+            board.add_scalars("schedule", {
+                "lr": trainer.plateau.lr,
+                "bn_momentum": float(cfg.bn_momentum(epoch)),
+                "val_total": float(eval_loss),
+                "epoch": epoch,
+            }, epoch)
         if checkpoint is not None:
             meta = {"epoch": epoch, "min_loss": float(min(min_loss, eval_loss)),
                     "lr": trainer.plateau.lr}

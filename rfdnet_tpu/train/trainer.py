@@ -115,9 +115,12 @@ def make_train_step(
     frozen: tuple = (),
     donate: bool = True,
     lr_scale_tree=None,
+    jit: bool = True,
 ) -> Callable:
     """Returns jitted (state, batch, rng, lr, bn_momentum) ->
-    (state, metrics dict of scalars)."""
+    (state, metrics dict of scalars). jit=False returns the raw traceable
+    step (for callers that loop it inside their own program, e.g. the
+    device-time train bench)."""
 
     def loss_fn(params, batch_stats, batch, rng, bn_momentum):
         out, updates = model.apply(
@@ -163,6 +166,8 @@ def make_train_step(
         )
         return new_state, losses
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

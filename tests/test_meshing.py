@@ -672,3 +672,75 @@ class TestMarchingCubes:
         mesh = g.extract_mesh(grid)
         assert len(mesh.vertices) > 0
         assert np.all(np.abs(mesh.vertices) <= 0.55 + 1e-9)
+
+
+# ---------------------------------------------------- transfer-sparse grids
+def test_sparse_bits_mc_byte_identical_to_dense():
+    """The transfer-sparse dense-grid form (device `sparsify_grids` ->
+    host `mc_extract_bits`) must reproduce the dense padded extraction
+    bit for bit: same welded vertex ids, same coordinates, same
+    triangles."""
+    import jax
+    import jax.numpy as jnp
+
+    from rfdnet_tpu.meshing.mise_device import sparsify_grids
+    from rfdnet_tpu.meshing.native import (
+        marching_cubes_bits,
+        marching_cubes_padded,
+    )
+
+    rng = np.random.RandomState(0)
+    n = 24
+    ax = np.linspace(-0.55, 0.55, n)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    pts = np.stack([X, Y, Z], -1)
+    grids = []
+    for i in range(5):
+        c = rng.uniform(-0.08, 0.08, 3)
+        r = np.linalg.norm((pts - c) * rng.uniform(0.8, 1.4, 3), axis=-1)
+        bump = 0.2 * np.sin(6 * pts[..., 0]) * np.cos(4 * pts[..., 1])
+        grids.append((30.0 * (0.31 + bump - r)).astype(np.float16))
+    grids = np.stack(grids)
+
+    iso = 0.0
+    budget = 1 << 17
+    bits, vals, counts = jax.jit(
+        lambda g: sparsify_grids(g, iso, budget)
+    )(jnp.asarray(grids))
+    bits = np.asarray(bits)
+    vals = np.asarray(vals).astype(np.float32)
+    counts = np.asarray(counts)
+    assert counts.sum() <= budget
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    for i in range(len(grids)):
+        ref_v, ref_t = marching_cubes_padded(
+            grids[i].astype(np.float32), iso
+        )
+        pair = marching_cubes_bits(
+            bits[i], vals[offs[i]:offs[i + 1]], (n, n, n), iso
+        )
+        assert pair is not None
+        np.testing.assert_array_equal(pair[0], ref_v)
+        np.testing.assert_array_equal(pair[1], ref_t)
+        assert len(ref_t) > 100  # non-trivial surface
+
+    # count mismatch (truncated values) -> None, caller falls back
+    assert marching_cubes_bits(
+        bits[0], vals[: max(counts[0] - 1, 0)], (n, n, n), iso
+    ) is None
+
+
+def test_sparse_bits_respects_valid_mask():
+    import jax
+    import jax.numpy as jnp
+
+    from rfdnet_tpu.meshing.mise_device import sparsify_grids
+
+    g = np.zeros((2, 8, 8, 8), np.float16)
+    g[:, 2:6, 2:6, 2:6] = 5.0
+    g -= 2.0
+    bits, vals, counts = jax.jit(
+        lambda x, v: sparsify_grids(x, 0.0, 4096, valid=v)
+    )(jnp.asarray(g), jnp.asarray([True, False]))
+    counts = np.asarray(counts)
+    assert counts[0] > 0 and counts[1] == 0

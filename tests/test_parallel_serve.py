@@ -97,6 +97,64 @@ def test_sharded_generate_matches_single_device(setup):
     )
 
 
+def test_sharded_eval_ap_table_matches_single_device(setup):
+    """The Tester protocol sharded over the 8-device mesh (one scene per
+    device) must produce the SAME AP table as the single-device run
+    (VERDICT r3 item 7): per-scene assembly (conf-threshold, per-class
+    proposals, NMS mask) -> APCalculator over all scenes, compared as
+    exact dicts. AP is built from discrete TP/FP matching, so it is
+    bit-stable even where smooth outputs differ by codegen ULPs."""
+    from rfdnet_tpu.eval.ap_helper import (
+        APCalculator,
+        assembly_gt_map_cls,
+        assembly_pred_map_cls,
+        parse_groundtruths,
+    )
+
+    model, variables, _ = setup
+    dc = ScannetConfig()
+    full = synthetic_scene_batch(
+        np.random.RandomState(3), batch_size=8, num_points=N_POINTS,
+        mean_size_arr=dc.mean_size_arr,
+    )
+    full = jax.tree_util.tree_map(jnp.asarray, full)
+    device_batch = {"point_clouds": full["point_clouds"]}
+    kw = dict(nms_iou=0.25, use_cls_nms=True, dump_threshold=0.05,
+              remove_empty_box=True, decode_grid_res=GRID)
+
+    mesh = make_mesh(jax.devices()[:8])
+    serve = make_sharded_generate(model, variables, mesh, **kw)
+    out_s = serve(device_batch)
+    out_1 = jax.jit(
+        lambda v, d: model.apply(v, d, method=ISCNet.generate,
+                                 mutable=False, **kw)
+    )(variables, device_batch)
+
+    host_batch = {k: np.asarray(v) for k, v in full.items()}
+
+    def ap_table(out):
+        parsed = {k: np.asarray(v) for k, v in out["parsed"].items()}
+        gen = {k: np.asarray(v) for k, v in out["gen"].items()}
+        calc = APCalculator(0.25, dc.class2type)
+        # scene-serial accumulation, exactly like Tester.run
+        for i in range(8):
+            p_i = {k: v[i:i + 1] for k, v in parsed.items()}
+            b_i = {k: v[i:i + 1] for k, v in host_batch.items()}
+            pred = assembly_pred_map_cls(
+                p_i, dc, conf_thresh=0.05, per_class_proposal=True,
+                proposal_ids=gen["proposal_ids"][i:i + 1],
+            )
+            gt = assembly_gt_map_cls(parse_groundtruths(b_i, dc))
+            calc.step(pred, gt)
+        return calc.compute_metrics()
+
+    m_s = ap_table(out_s)
+    m_1 = ap_table(out_1)
+    assert set(m_s) == set(m_1)
+    for k in m_1:
+        assert m_s[k] == m_1[k], (k, m_s[k], m_1[k])
+
+
 def test_sharded_generate_f16_grids(setup):
     model, variables, batch = setup
     mesh = make_mesh(jax.devices()[:8])

@@ -329,6 +329,30 @@ def _close(name, j, t, atol=ATOL, rtol=RTOL, outlier_frac=1e-3,
         )
 
 
+def _assert_proposal_ids_match(j_ids, t_ids, t_probs, eps=1e-4):
+    """Tie-aware comparison of (B, limit, 3) [proposal_id, gt_box_id,
+    cls_id] selections. Positional equality is required except at rows
+    whose competing proposals' objectness probabilities are within eps
+    (a near-tie that contraction-order rounding may legitimately flip);
+    such rows need only agree as a set."""
+    assert j_ids.shape == t_ids.shape
+    for b in range(j_ids.shape[0]):
+        j, t = j_ids[b], t_ids[b]
+        if np.array_equal(j, t):
+            continue
+        # same multiset of rows regardless of order
+        assert sorted(map(tuple, j.tolist())) == sorted(map(tuple, t.tolist())), (
+            f"scene {b}: selected row sets diverged:\n{j}\nvs\n{t}"
+        )
+        # every positional difference must be explained by an objectness tie
+        for i in np.nonzero((j != t).any(axis=1))[0]:
+            gap = abs(float(t_probs[b, j[i, 0]]) - float(t_probs[b, t[i, 0]]))
+            assert gap <= eps, (
+                f"scene {b} row {i}: proposals {j[i, 0]} vs {t[i, 0]} swapped "
+                f"but objectness gap {gap} > {eps} (not a tie)"
+            )
+
+
 def test_full_forward_parity(composite, monkeypatch):
     """`ISCNet.forward` (train path, eval-mode BN, z pinned to the
     posterior mean on both sides) — every end_points field, the selected
@@ -360,9 +384,14 @@ def test_full_forward_parity(composite, monkeypatch):
         _close(key, j_end[key], t_end[key], atol=5e-4, rtol=5e-4)
 
     # proposal selection (get_proposal_id mode='objectness'):
-    # [proposal_id, gt_box_id, cls_id] rows must match exactly
-    assert np.array_equal(np.asarray(j_ids), t_ids.numpy()), (
-        f"proposal ids diverged:\n{np.asarray(j_ids)}\nvs\n{t_ids.numpy()}"
+    # [proposal_id, gt_box_id, cls_id] rows must match exactly, EXCEPT
+    # where two proposals' objectness is a float tie (<= eps apart): the
+    # ranking is then sensitive to ~1-ULP contraction-order differences
+    # between torch and XLA, so tied rows are compared as sets instead
+    # of positionally (`network.py:387-436` sorts by objectness).
+    _assert_proposal_ids_match(
+        np.asarray(j_ids), t_ids.numpy(),
+        torch.softmax(t_end["objectness_scores"], dim=-1)[..., 1].numpy(),
     )
 
     # completion + mask losses

@@ -68,6 +68,40 @@ def build_scene(rng, K=256, N=80000, num_class=8, nh=12, ns=8, M=64):
     return end_points, data
 
 
+def bench_ref_generation_host(nprop=64, reps=3):
+    """Host floor of the reference's per-scene mesh generation
+    (`models/iscnet/modules/generator.py:145-197`): after the GPU decode,
+    each proposal's padded 33^3 grid goes through PyMCubes marching cubes
+    + trimesh assembly ON THE HOST, serially. PyMCubes is not installed
+    here, so the stage is timed with OUR C++ extractor (single-proposal
+    path, one call per proposal exactly like the reference's loop) —
+    strictly FASTER than PyMCubes' non-sign-pruned scan, so adding it
+    keeps the total a valid lower bound on the reference's host cost.
+    The np.pad per proposal is the reference's own
+    (`generator.py:157-159`)."""
+    from rfdnet_tpu.meshing.native import marching_cubes
+
+    rng = np.random.RandomState(0)
+    res = 33  # resolution_0=32 -> pointsf grid is (res0+1)^3
+    ax = np.linspace(-0.55, 0.55, res)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    pts = np.stack([X, Y, Z], -1)
+    grids = []
+    for _ in range(nprop):
+        c = rng.uniform(-0.05, 0.05, 3)
+        r = np.linalg.norm((pts - c) * rng.uniform(0.8, 1.3, 3), axis=-1)
+        bump = 0.15 * np.sin(7 * pts[..., 0]) * np.cos(5 * pts[..., 1])
+        grids.append((40.0 * (0.33 + bump - r)).astype(np.float32))
+    # warmup (builds the case table / the .so)
+    marching_cubes(np.pad(grids[0], 1, constant_values=-1e6), 0.0)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for g in grids:
+            padded = np.pad(g, 1, constant_values=-1e6)
+            marching_cubes(padded, 0.0)
+    return (time.perf_counter() - t0) / reps
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", type=int, default=10)
@@ -119,18 +153,21 @@ def main():
         t_asm += t3 - t2
 
     n = args.scenes
-    host_per_scene = (t_parse + t_gt + t_asm) / n
+    t_gen = bench_ref_generation_host()
+    host_per_scene = (t_parse + t_gt + t_asm) / n + t_gen
     out = {
         "scenes": n,
         "parse_predictions_s": t_parse / n,
         "parse_groundtruths_s": t_gt / n,
         "assembly_s": t_asm / n,
+        "generation_mc_s": t_gen,
         "host_per_scene_s": host_per_scene,
         "ref_scenes_per_sec_upper_bound": 1.0 / host_per_scene,
         "note": "host-only stages of the reference protocol "
-                "(ap_helper.py:131-368); excludes ALL GPU forward/decode "
-                "and mcubes time, so 1/t is an upper bound on reference "
-                "throughput",
+                "(ap_helper.py:131-368 + generator.py:145-197 marching "
+                "cubes, timed with our FASTER extractor); excludes ALL "
+                "GPU forward/decode time, so 1/t is an upper bound on "
+                "reference throughput",
     }
     print(json.dumps(out))
 

@@ -87,6 +87,15 @@ def make_shape(cls_name: str, rng: np.random.RandomState):
                 y0, y1 = sorted((sy * 0.5, sy * (0.5 - leg)))
                 parts.append(box([x0, y0, -0.5], [x1, y1, 0.5 - top]))
         return union(*parts)
+    # NOTE: every heading-bearing (non-rotation-symmetric) shape puts its
+    # asymmetric feature along +x and stays MIRROR-SYMMETRIC in y. The
+    # reference's flip augmentation updates headings as x-flip: pi-theta,
+    # y-flip: -theta (`dataloader.py:89,95`), which keeps labels
+    # geometry-consistent ONLY for canonical shapes with that y-symmetry
+    # (a single flip composes mirror-about-y with the label rotation).
+    # The round-3 shapes had chair/bookshelf/sofa backs at +y, so half of
+    # all augmented samples carried heading labels pi off the geometry —
+    # heading_cls_loss sat at chance ln(12) forever (VERDICT r3 item 5).
     if cls_name == "chair":
         seat_z = u(-0.15, 0.0)
         seat_t = u(0.06, 0.12)
@@ -95,8 +104,8 @@ def make_shape(cls_name: str, rng: np.random.RandomState):
         parts = [
             # seat spans full xy
             box([-0.5, -0.5, seat_z], [0.5, 0.5, seat_z + seat_t]),
-            # back at +y, up to z=+0.5
-            box([-0.5, 0.5 - back_t, seat_z], [0.5, 0.5, 0.5]),
+            # back at +x, up to z=+0.5
+            box([0.5 - back_t, -0.5, seat_z], [0.5, 0.5, 0.5]),
         ]
         for sx in (-1, 1):
             for sy in (-1, 1):
@@ -108,9 +117,9 @@ def make_shape(cls_name: str, rng: np.random.RandomState):
         panel = u(0.04, 0.08)
         n_shelves = rng.randint(3, 5)
         parts = [
-            box([-0.5, 0.5 - panel, -0.5], [0.5, 0.5, 0.5]),   # back
-            box([-0.5, -0.5, -0.5], [-0.5 + panel, 0.5, 0.5]),  # left
-            box([0.5 - panel, -0.5, -0.5], [0.5, 0.5, 0.5]),    # right
+            box([0.5 - panel, -0.5, -0.5], [0.5, 0.5, 0.5]),    # back (+x)
+            box([-0.5, -0.5, -0.5], [0.5, -0.5 + panel, 0.5]),  # side panels
+            box([-0.5, 0.5 - panel, -0.5], [0.5, 0.5, 0.5]),
         ]
         for i in range(n_shelves + 1):
             z = -0.5 + i * 1.0 / n_shelves
@@ -124,9 +133,9 @@ def make_shape(cls_name: str, rng: np.random.RandomState):
         arm_top = u(0.15, 0.3)
         return union(
             box([-0.5, -0.5, -0.5], [0.5, 0.5, seat_top]),          # base
-            box([-0.5, 0.5 - back_t, -0.5], [0.5, 0.5, 0.5]),       # back
-            box([-0.5, -0.5, -0.5], [-0.5 + arm_w, 0.5, arm_top]),  # arms
-            box([0.5 - arm_w, -0.5, -0.5], [0.5, 0.5, arm_top]),
+            box([0.5 - back_t, -0.5, -0.5], [0.5, 0.5, 0.5]),       # back (+x)
+            box([-0.5, -0.5, -0.5], [0.5, -0.5 + arm_w, arm_top]),  # arms (y)
+            box([-0.5, 0.5 - arm_w, -0.5], [0.5, 0.5, arm_top]),
         )
     if cls_name == "trash_bin":
         wall = u(0.06, 0.12)
@@ -136,10 +145,10 @@ def make_shape(cls_name: str, rng: np.random.RandomState):
             tube_z(0.5, 0.0, -0.5, -0.5 + bottom),
         )
     if cls_name == "cabinet":
-        door = u(0.0, 0.04)  # slight front inset detail
+        door = u(0.0, 0.04)  # slight front inset detail (front at +x)
         return union(
-            box([-0.5, -0.5 + door, -0.5], [0.5, 0.5, 0.5]),
-            box([-0.4, -0.5, -0.4], [0.4, 0.5, 0.4]),
+            box([-0.5, -0.5, -0.5], [0.5 - door, 0.5, 0.5]),
+            box([-0.5, -0.4, -0.4], [0.5, 0.4, 0.4]),
         )
     if cls_name == "display":
         panel_t = u(0.08, 0.16)

@@ -393,14 +393,22 @@ def build_splits(out_root: str, split_dir: str, scannet_split_dir: str):
         # paths relative to split_dir: the dataset resolves non-absolute
         # entries against its root (the splits dir, `data/scannet.py:81`),
         # so the prepped artifact stays relocatable and CWD-independent
+        # realpath (not abspath) on both sides: lexical relpath across a
+        # symlinked split_dir/out_root emits ../ traversals that resolve
+        # to the wrong target when later joined (ADVICE r3). Fall back to
+        # absolute paths if the relative form does not round-trip.
+        def _rel(target: str) -> str:
+            target = os.path.realpath(target)
+            base = os.path.realpath(split_dir)
+            rel = os.path.relpath(target, base)
+            if os.path.exists(os.path.join(split_dir, rel)):
+                return rel
+            return target
+
         entries = [
             {
-                "scan": os.path.relpath(
-                    os.path.abspath(os.path.join(out_root, s, "full_scan.npz")),
-                    os.path.abspath(split_dir)),
-                "bbox": os.path.relpath(
-                    os.path.abspath(os.path.join(out_root, s, "bbox.pkl")),
-                    os.path.abspath(split_dir)),
+                "scan": _rel(os.path.join(out_root, s, "full_scan.npz")),
+                "bbox": _rel(os.path.join(out_root, s, "bbox.pkl")),
             }
             for s in wanted if s in processed
         ]

@@ -63,6 +63,10 @@ def _stage_yaml(split_dir, shapenet, out_dir, *, phase, lr, epochs, batch,
         "log": {"path": out_dir, "print_step": 16},
         "finetune": bool(weight),
         "weight": list(weight),
+        # resume-first boot: interrupted stages pick up at their last
+        # checkpoint; a fresh stage falls through to finetune/scratch
+        # (`net_utils/utils.py:86-100` precedence)
+        "resume": True,
     }
     if extra:
         from rfdnet_tpu.config.config import update_recursive
@@ -84,12 +88,26 @@ def _run_dir(out_dir):
 
 
 def _schedule_evidence(run_dir):
-    """Parse LR-reduction events out of the run log."""
+    """Parse LR-reduction events out of the run log + the per-epoch
+    lr/bn-momentum series out of scalars.jsonl."""
     log = open(os.path.join(run_dir, "log.txt")).read()
     reductions = re.findall(
         r"epoch (\d+): plateau patience exceeded, LR (\S+) -> (\S+)", log
     )
     best = re.findall(r"epoch (\d+): new best val loss (\S+)", log)
+    schedule = []
+    scalars = os.path.join(run_dir, "scalars.jsonl")
+    if os.path.isfile(scalars):
+        with open(scalars) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("phase") == "schedule":
+                    schedule.append({
+                        "epoch": int(rec["epoch"]),
+                        "lr": rec["lr"],
+                        "bn_momentum": rec["bn_momentum"],
+                        "val_total": rec["val_total"],
+                    })
     return {
         "lr_reductions": [
             {"epoch": int(e), "from": float(a), "to": float(b)}
@@ -100,6 +118,7 @@ def _schedule_evidence(run_dir):
             {"epoch": int(best[-1][0]), "val_total": float(best[-1][1])}
             if best else None
         ),
+        "schedule": schedule,
     }
 
 
