@@ -126,6 +126,43 @@ def save_visualization(cfg, data, parsed, gen, meshes, out_dir: str):
         os.path.join(out_dir, "000000_pred_confident_nms_bbox.npz"),
         obbs=np.array(boxes), proposal_map=np.array(proposal_map),
     )
+
+    # interactive WebGL inspector (the reference demo's VTK window,
+    # `demo.py:329-377`) — instance-colored meshes + boxes, depth frame
+    from .eval.box_util import flip_axis_to_depth
+    from .utils.scene_viz import SceneRender, corners_to_center_vectors
+
+    centers, vectors, placed_meshes = [], [], []
+    for g in range(G):
+        if not gen["valid"][0, g]:
+            continue
+        j = int(gen["proposal_ids"][0, g, 0])
+        corners = flip_axis_to_depth(
+            parsed["pred_corners_3d_upright_camera"][0, j]
+        )
+        c, vec = corners_to_center_vectors(corners)
+        centers.append(c)
+        vectors.append(vec)
+        mesh = meshes[g]
+        if len(mesh.vertices):
+            m = place_mesh_in_box(
+                mesh, parsed["pred_corners_3d_upright_camera"][0, j]
+            )
+            placed_meshes.append(
+                (flip_axis_to_depth(np.asarray(m.vertices)),
+                 np.asarray(m.faces))
+            )
+        else:
+            placed_meshes.append(
+                (np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+            )
+    SceneRender(
+        pc, meshes=placed_meshes, centers=centers, vectors=vectors,
+        class_ids=[0] * len(centers),
+    ).export_html(
+        os.path.join(out_dir, "scene.html"),
+        title=os.path.basename(out_dir), color_mode="instance",
+    )
     return out_dir
 
 

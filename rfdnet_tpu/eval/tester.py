@@ -442,6 +442,59 @@ class Tester:
                     ).export(
                         os.path.join(scene_dir, f"proposal_{j}_mesh.ply")
                     )
+        # interactive WebGL inspector (VTK-window equivalent,
+        # `utils/scannet/visualization/vis_prediction.py`): scene points +
+        # placed completion meshes + confident NMS boxes, class-colored.
+        try:
+            from ..config.scannet import (
+                SHAPENETCLASSES,
+                ScanNet_OBJ_CLASS_IDS,
+            )
+            from ..utils.scene_viz import (
+                SceneRender,
+                corners_to_center_vectors,
+            )
+
+            # one instance per confident NMS proposal: box + (optional)
+            # placed completion mesh, both class-colored by pred_sem_cls
+            mesh_by_pid = {}
+            if gen and out["meshes"] is not None:
+                G = gen["proposal_ids"].shape[1]
+                for g in range(G):
+                    if not gen["valid"][0, g]:
+                        continue
+                    j = int(gen["proposal_ids"][0, g, 0])
+                    mesh = out["meshes"][g]
+                    if len(mesh.vertices):
+                        mesh_by_pid[j] = mesh
+            centers, vectors, cls_ids, placed = [], [], [], []
+            for k, j in enumerate(keep):
+                c, vec = corners_to_center_vectors(corners[k])
+                centers.append(c)
+                vectors.append(vec)
+                cls_ids.append(int(parsed["pred_sem_cls"][0, j]))
+                if j in mesh_by_pid:
+                    m = place_mesh_in_box(
+                        mesh_by_pid[j],
+                        parsed["pred_corners_3d_upright_camera"][0, j],
+                    )
+                    mv = flip_axis_to_depth(np.asarray(m.vertices))
+                    placed.append((mv, np.asarray(m.faces)))
+                else:
+                    placed.append((np.zeros((0, 3)), np.zeros((0, 3),
+                                                              np.int64)))
+            SceneRender(
+                pc, meshes=placed, centers=centers, vectors=vectors,
+                class_ids=cls_ids,
+            ).export_html(
+                os.path.join(scene_dir, "scene.html"),
+                title=os.path.basename(scene_dir),
+                class_names=[SHAPENETCLASSES[c]
+                             for c in ScanNet_OBJ_CLASS_IDS],
+            )
+        except Exception as e:  # viz must never fail the eval run
+            self.log(f"[tester] scene.html export failed: {e}")
+
         with open(os.path.join(scene_dir, "pred_map_cls.txt"), "w") as f:
             for item in out["batch_pred_map_cls"][0]:
                 f.write(f"{item[0]} {item[-1]} "

@@ -34,11 +34,26 @@ import numpy as np
 __all__ = [
     "hls_palette",
     "box7_to_vectors",
+    "corners_to_center_vectors",
     "place_canonical_mesh_in_box7",
     "SceneRender",
     "render_gt_scene",
     "render_comparison",
 ]
+
+
+def corners_to_center_vectors(corners: np.ndarray):
+    """(8,3) box corners (VoteNet `get_3d_box` / `_corners` adjacency:
+    corners 1, 3, 4 adjacent to corner 0) -> (center, 3 half-edge
+    vectors) in the `bbox.pkl` convention."""
+    corners = np.asarray(corners, np.float64)
+    center = corners.mean(axis=0)
+    vectors = np.stack([
+        (corners[1] - corners[0]) / 2.0,
+        (corners[3] - corners[0]) / 2.0,
+        (corners[4] - corners[0]) / 2.0,
+    ])
+    return center, vectors
 
 
 def hls_palette(n: int, h: float = 0.01, l: float = 0.6, s: float = 0.65):
@@ -257,6 +272,20 @@ class SceneRender:
             fh.write(frec.tobytes())
         return path
 
+    # -------------------------------------------------------------- html
+    def export_html(self, path: str, title: str = "scene",
+                    class_names=(), color_mode: str = "class",
+                    max_points: int = 120000):
+        """Interactive WebGL export (the reference's VTK window
+        equivalent, `vis_scannet.py:23-369`) — see
+        `utils/scene_html.py`."""
+        from .scene_html import export_scene_html
+
+        return export_scene_html(
+            self, path, title=title, class_names=class_names,
+            color_mode=color_mode, max_points=max_points,
+        )
+
 
 def render_gt_scene(scene_dir: str, save_path: str,
                     shapenet_mesh_fn=None, only_points=False):
@@ -295,6 +324,13 @@ def render_gt_scene(scene_dir: str, save_path: str,
     )
     render.render(save_path, only_points=only_points)
     render.export_ply(os.path.splitext(save_path)[0] + ".ply")
+    from ..config.scannet import SHAPENETCLASSES
+
+    render.export_html(
+        os.path.splitext(save_path)[0] + ".html",
+        title=os.path.basename(scene_dir.rstrip("/")),
+        class_names=[SHAPENETCLASSES[c] for c in ScanNet_OBJ_CLASS_IDS],
+    )
     return save_path
 
 

@@ -81,6 +81,10 @@ def test_run_test_detection_metrics(tiny_dataset, tmp_path):
     assert len(dumped) == 2
     for d in dumped:
         assert os.path.exists(tmp_path / "vis" / d / "pred_map_cls.txt")
+        # interactive WebGL inspector written (never silently skipped)
+        html = tmp_path / "vis" / d / "scene.html"
+        assert os.path.exists(html)
+        assert "getContext" in open(html).read()
 
 
 def test_run_demo_mode(tmp_path):
