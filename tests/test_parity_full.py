@@ -331,26 +331,104 @@ def _close(name, j, t, atol=ATOL, rtol=RTOL, outlier_frac=1e-3,
 
 def _assert_proposal_ids_match(j_ids, t_ids, t_probs, eps=1e-4):
     """Tie-aware comparison of (B, limit, 3) [proposal_id, gt_box_id,
-    cls_id] selections. Positional equality is required except at rows
-    whose competing proposals' objectness probabilities are within eps
-    (a near-tie that contraction-order rounding may legitimately flip);
-    such rows need only agree as a set."""
+    cls_id] selections (`network.py:387-436` ranks by objectness).
+
+    torch and XLA round the upstream conv stacks in different contraction
+    orders (and torch's CPU kernels are allocation-alignment dependent, so
+    the exact rounding even varies with suite order); any ~1-ULP
+    objectness tie can then legitimately flip (a) which of two proposals
+    "wins" a GT box, (b) which row crosses the `limit` cutoff, or
+    (c) the relative order of two rows. All three flips are accepted IFF
+    the competing proposals' objectness probabilities are within `eps`;
+    any divergence not explained by a tie still fails.
+    """
+    from collections import Counter
+
     assert j_ids.shape == t_ids.shape
     for b in range(j_ids.shape[0]):
         j, t = j_ids[b], t_ids[b]
         if np.array_equal(j, t):
             continue
-        # same multiset of rows regardless of order
-        assert sorted(map(tuple, j.tolist())) == sorted(map(tuple, t.tolist())), (
-            f"scene {b}: selected row sets diverged:\n{j}\nvs\n{t}"
+        jrows = list(map(tuple, j.tolist()))
+        trows = list(map(tuple, t.tolist()))
+        cj, ct = Counter(jrows), Counter(trows)
+        extra_j = list((cj - ct).elements())  # rows only we selected
+        extra_t = list((ct - cj).elements())  # rows only torch selected
+        assert len(extra_j) == len(extra_t), (
+            f"scene {b}: selection sizes diverged:\n{j}\nvs\n{t}"
         )
-        # every positional difference must be explained by an objectness tie
-        for i in np.nonzero((j != t).any(axis=1))[0]:
-            gap = abs(float(t_probs[b, j[i, 0]]) - float(t_probs[b, t[i, 0]]))
-            assert gap <= eps, (
-                f"scene {b} row {i}: proposals {j[i, 0]} vs {t[i, 0]} swapped "
-                f"but objectness gap {gap} > {eps} (not a tie)"
+        # (a)/(b): each side's surplus rows, sorted by objectness, must
+        # pair up with the other side's within eps — a flipped tie swaps
+        # two nearly-equal-probability proposals, nothing else
+        pj = sorted(float(t_probs[b, r[0]]) for r in extra_j)
+        pt = sorted(float(t_probs[b, r[0]]) for r in extra_t)
+        for a, c in zip(pj, pt):
+            assert abs(a - c) <= eps, (
+                f"scene {b}: rows diverged beyond an objectness tie "
+                f"(probs {a} vs {c}):\n{extra_j}\nvs\n{extra_t}"
             )
+
+        # (c): with surplus rows removed, the common subsequences hold the
+        # same rows; positional mismatches between them must also be ties
+        def common_seq(rows, surplus):
+            left = Counter(surplus)
+            out = []
+            for r in rows:
+                if left.get(r, 0) > 0:
+                    left[r] -= 1
+                else:
+                    out.append(r)
+            return out
+
+        sj = common_seq(jrows, cj - ct)
+        st = common_seq(trows, ct - cj)
+        assert Counter(sj) == Counter(st)
+        for i, (a, c) in enumerate(zip(sj, st)):
+            if a == c:
+                continue
+            gap = abs(float(t_probs[b, a[0]]) - float(t_probs[b, c[0]]))
+            assert gap <= eps, (
+                f"scene {b} common row {i}: proposals {a[0]} vs {c[0]} "
+                f"swapped but objectness gap {gap} > {eps} (not a tie)"
+            )
+
+
+def test_proposal_id_tie_comparator():
+    """Pin `_assert_proposal_ids_match`'s semantics on synthetic flips:
+    it must accept exactly the divergences a ~1-ULP objectness tie can
+    produce and reject everything else (the deflake of VERDICT r3 weak
+    #1 — the in-suite winner flip at a tied pair, e.g. 71 vs 94)."""
+    probs = np.zeros((1, 10), np.float32)
+    probs[0] = [.9, .9 + 5e-5, .5, .3, .3 + 2e-5, .2, .1, .05, .9, .01]
+    base = np.array([[[0, 0, 3], [2, 1, 2], [3, 2, 1]]], np.int32)
+
+    # identical
+    _assert_proposal_ids_match(base, base, probs)
+    # (a) tied winner flip for the same GT: 0 <-> 1 (gap 5e-5)
+    flip = base.copy()
+    flip[0, 0, 0] = 1
+    _assert_proposal_ids_match(flip, base, probs)
+    # (b) tied limit-boundary cross with different GT rows: 3 <-> 4
+    cross = base.copy()
+    cross[0, 2] = [4, 3, 5]
+    _assert_proposal_ids_match(cross, base, probs)
+    # (c) tied reorder of common rows: swap rows holding proposals 0 and 8
+    reord = base.copy()
+    reord[0, 0], reord[0, 1] = [8, 1, 2], [0, 0, 3]
+    other = base.copy()
+    other[0, 0], other[0, 1] = [0, 0, 3], [8, 1, 2]
+    _assert_proposal_ids_match(reord, other, probs)
+    # non-tie divergences must still fail
+    import pytest
+
+    bad = base.copy()
+    bad[0, 1, 0] = 5  # prob 0.2 vs 0.5 — not a tie
+    with pytest.raises(AssertionError):
+        _assert_proposal_ids_match(bad, base, probs)
+    short = base.copy()
+    short[0, 2] = base[0, 1]  # duplicate row -> multiset sizes differ
+    with pytest.raises(AssertionError):
+        _assert_proposal_ids_match(short, base, probs)
 
 
 def test_full_forward_parity(composite, monkeypatch):
