@@ -34,7 +34,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch dict onto the mesh, batch-dim sharded."""
+    """Place a host batch dict onto the mesh, batch-dim sharded.
+
+    ONE-SHOT placement only — do NOT call this per training/eval
+    iteration. On this runtime (jax 0.9.0, CPU and TPU backends) every
+    standalone host->device transfer (`jax.device_put`, `jnp.asarray`,
+    identity-jit) permanently retains ~the transferred bytes (invisible
+    to `jax.live_arrays()`, immune to `gc.collect()`): measured 45
+    MB/epoch at test scale and ~1.6 GB/epoch at protocol scale (8 x 80k
+    points), enough to OOM-kill every multi-hour training run. The one
+    leak-free route (bisected empirically, tools/leakcheck history in
+    the round-4 commit) is passing HOST numpy arrays directly as
+    arguments to a jitted computation with `in_shardings` declaring the
+    batch placement — see `make_train_step(mesh=...)` /
+    `make_eval_step(mesh=...)`, which the epoch loop uses.
+    """
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch

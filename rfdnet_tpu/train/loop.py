@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..parallel.mesh import make_mesh, replicated
 from ..utils.logging import LogBoard, LossRecorder
 from .checkpoint import CheckpointIO
 from .trainer import (
@@ -59,15 +59,19 @@ class Trainer:
         )
         frozen = tuple(cfg.config["train"].get("freeze", []))
         weight = cfg.config["model"].get("completion", {}).get("weight", 1.0)
+        self.mesh = pick_mesh(cfg.config["train"]["batch_size"])
+        # The mesh is passed so the steps declare `in_shardings` and the
+        # epoch loop can feed HOST numpy batches straight in — the one
+        # transfer route that does not retain host memory per call on
+        # this runtime (see `parallel.mesh.shard_batch` docstring).
         self.train_step = make_train_step(
             model, dataset_config, self.tx,
             completion_weight=weight, frozen=frozen,
-            lr_scale_tree=lr_scale_tree,
+            lr_scale_tree=lr_scale_tree, mesh=self.mesh,
         )
         self.eval_step = make_eval_step(
-            model, dataset_config, completion_weight=weight
+            model, dataset_config, completion_weight=weight, mesh=self.mesh,
         )
-        self.mesh = pick_mesh(cfg.config["train"]["batch_size"])
         self.state = None
         self._vis_fn = None
 
@@ -101,8 +105,9 @@ class Trainer:
                 return shape_example, pids
 
             self._vis_fn = jax.jit(fn)
+        # host numpy straight into the plain jit (no standalone transfer)
         device_batch = {
-            k: jnp.asarray(v) for k, v in batch.items()
+            k: v for k, v in batch.items()
             if not isinstance(v, list) and k not in
             ("object_voxels", "shapenet_catids", "shapenet_ids")
         }
@@ -131,12 +136,13 @@ class Trainer:
         for it, batch in enumerate(loader):
             if vis_step and (it + 1) % vis_step == 0:
                 self.visualize_step(batch, epoch, phase, it + 1)
+            # Host numpy batch goes straight into the jitted step; the
+            # step's `in_shardings` performs the (leak-free) transfer.
             batch = {
                 k: v for k, v in batch.items()
                 if not isinstance(v, list) and k not in
                 ("object_voxels", "shapenet_catids", "shapenet_ids")
             }
-            batch = shard_batch(batch, self.mesh)
             step_key = jax.random.fold_in(rng_key, it)
             if phase == "train":
                 self.state, losses = self.train_step(

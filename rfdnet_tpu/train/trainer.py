@@ -116,6 +116,7 @@ def make_train_step(
     donate: bool = True,
     lr_scale_tree=None,
     jit: bool = True,
+    mesh=None,
 ) -> Callable:
     """Returns jitted (state, batch, rng, lr, bn_momentum) ->
     (state, metrics dict of scalars). jit=False returns the raw traceable
@@ -168,10 +169,28 @@ def make_train_step(
 
     if not jit:
         return step
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   **_loop_shardings(mesh, n_scalar_args=3))
 
 
-def make_eval_step(model, dataset_config, completion_weight: float = 1.0):
+def _loop_shardings(mesh, n_scalar_args: int) -> dict:
+    """`in_shardings` for a (state, batch, *scalars) step when a mesh is
+    given: state replicated, batch leaves sharded over the data axis,
+    scalars replicated. Declaring placements on the jit lets the epoch
+    loop pass HOST numpy batches straight in — the one transfer route
+    that does not leak on this runtime (see `parallel.mesh.shard_batch`,
+    which must NOT be called per iteration)."""
+    if mesh is None:
+        return {}
+    from ..parallel.mesh import batch_sharding, replicated
+
+    rep = replicated(mesh)
+    return {"in_shardings": (rep, batch_sharding(mesh))
+            + (rep,) * n_scalar_args}
+
+
+def make_eval_step(model, dataset_config, completion_weight: float = 1.0,
+                   mesh=None):
     def step(state: TrainState, batch, rng):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -189,7 +208,7 @@ def make_eval_step(model, dataset_config, completion_weight: float = 1.0):
         )
         return losses
 
-    return jax.jit(step)
+    return jax.jit(step, **_loop_shardings(mesh, n_scalar_args=1))
 
 
 def init_state(model, tx, sample_batch, seed: int = 0) -> TrainState:
