@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from functools import partial
 
@@ -68,13 +69,38 @@ REF_SCENES_PER_SEC_EST = 0.4  # round-1 estimate, kept for context
 # They run serially per scene on any hardware, so 1/t_host is an upper
 # bound on reference scenes/sec no GPU can beat — the denominator below
 # is that measured bound (see BASELINE.md for the recorded derivation).
-# Measured 2026-08-17 on this box (10 synthetic scenes, K=256, N=80k,
-# remove_empty_box on — the faster_eval protocol): parse_predictions
-# 0.633 s + parse_groundtruths 0.002 s + assembly 0.002 s = 0.637
-# s/scene -> 1.571 scenes/sec bound. Host-speed caveat: the bound
-# scales with single-core CPU speed, but our protocol line's host
-# marching cubes runs on the SAME core, so the comparison is symmetric.
-REF_SCENES_PER_SEC_BOUND = 1.571
+# The bound scales with single-core CPU speed (measured 1.571/s on the
+# round-3 box, 2.0/s on the round-4 box), so it is RE-MEASURED LIVE at
+# bench time on the same host via measure_ref_bound() below; this
+# constant is only the fallback if the live measurement fails. The live
+# bound also credits the reference our faster marching-cubes extractor
+# for its host MC stage (PyMCubes absent here) — generous to the
+# reference, i.e. vs_baseline never overstates the speedup.
+REF_SCENES_PER_SEC_BOUND = 1.571  # fallback (round-3 box measurement)
+
+
+def measure_ref_bound() -> tuple[float, str]:
+    """Same-session measured reference throughput upper bound
+    (scenes/sec) + provenance string for the JSON secondary."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        from bench_ref_host import measure_host_floor
+
+        m = measure_host_floor(scenes=6)
+        return (
+            float(m["ref_scenes_per_sec_upper_bound"]),
+            "measured live this run (tools/bench_ref_host.py, "
+            f"host floor {m['host_per_scene_s']:.3f} s/scene: "
+            f"parse_predictions {m['parse_predictions_s']:.3f} + "
+            f"generation MC {m['generation_mc_s']:.3f} + "
+            "parse_gt/assembly; excludes ALL reference GPU time)",
+        )
+    except Exception as e:  # torch/shim failure: fall back, say so
+        return (
+            REF_SCENES_PER_SEC_BOUND,
+            f"fallback constant (live measurement failed: {e!r}); "
+            "round-3 box measurement, tools/bench_ref_host.py",
+        )
 
 NUM_POINTS = int(os.environ.get("BENCH_POINTS", 80_000))
 GRID_RES = 32
@@ -82,6 +108,73 @@ PROTOCOL_LIMIT = 64   # ISCNet generate_limit default (= test protocol)
 DEMO_LIMIT = 8        # round-1 demo-scale secondary line
 SCENES = int(os.environ.get("BENCH_SCENES", 8))
 DEVICE_ITERS = 10     # fori_loop trips for the device-time secondary
+
+
+def _find_trained_ckpt() -> str | None:
+    """Newest protocol-run joint-stage best checkpoint, if present
+    (BENCH_CKPT overrides). The checkpoints are gitignored build
+    artifacts — on a fresh checkout the bench falls back to random-init
+    weights and says so in the JSON."""
+    path = os.environ.get("BENCH_CKPT")
+    if path:
+        return path if os.path.isdir(path) else None
+    import glob
+
+    cands = sorted(glob.glob("out/protocol_run/stage3_joint/*/model_best"))
+    return cands[-1] if cands else None
+
+
+def _load_trained(variables):
+    """Overlay trained params/batch_stats onto freshly-initialized
+    variables. Returns (variables, tag) where tag records the weight
+    provenance for the bench JSON."""
+    path = _find_trained_ckpt()
+    if path is None:
+        return variables, "random-init"
+    try:
+        from rfdnet_tpu.train.checkpoint import CheckpointIO, partial_load
+
+        ckpt = CheckpointIO(os.path.dirname(path), log=lambda *a: None)
+        src, _ = ckpt.load(path)
+        quiet = lambda *a, **k: None  # noqa: E731
+        params = partial_load(variables["params"], src["params"], quiet)
+        stats = partial_load(
+            dict(variables.get("batch_stats", {})),
+            src.get("batch_stats", {}), quiet,
+        )
+        return {"params": params, "batch_stats": stats}, f"trained ({path})"
+    except Exception as e:
+        return variables, f"random-init (ckpt load failed: {e!r})"
+
+
+def _load_protocol_scenes(max_scenes: int = 4) -> list[dict] | None:
+    """Up to `max_scenes` REAL validation scenes from the protocol
+    dataset (gitignored; regenerable via tools/gen_synthetic_dataset.py).
+    None when absent — the bench then uses the synthetic jittered scene."""
+    split = os.path.join("out", "synth_ds", "splits", "scannetv2_val.json")
+    if not os.path.exists(split):
+        return None
+    try:
+        from rfdnet_tpu.config.scannet import ScannetConfig
+        from rfdnet_tpu.data.scannet import ScanNetDataset, collate
+
+        ds = ScanNetDataset(
+            split, mode="test", phase="completion", num_points=NUM_POINTS,
+            dataset_config=ScannetConfig(),
+            shapenet_path=os.path.join("out", "synth_ds", "shapenet"),
+        )
+        scenes = []
+        for i in range(min(max_scenes, len(ds))):
+            b = collate([ds[i]])
+            scenes.append({
+                k: v for k, v in b.items()
+                if not isinstance(v, list) and k not in
+                ("object_voxels", "object_points_iou",
+                 "object_points_iou_occ", "scan_idx")
+            })
+        return scenes or None
+    except Exception:
+        return None
 
 
 def _make_batch(limit_model):
@@ -131,6 +224,21 @@ def bench_protocol(refit: bool, mise: bool = False,
         decoder_dtype="bfloat16" if bf16 else None,
     )
     _, batch, variables = _make_batch(model)
+    # Trained weights + real protocol scenes when present: random-init
+    # weights decode to EMPTY occupancy grids (zero iso-crossings), which
+    # understates the host marching-cubes and grid-transfer cost. With
+    # the protocol-run checkpoint the meshes (and the transfer-sparse
+    # payload) are real. Falls back to random-init + a synthetic scene on
+    # a fresh checkout (both artifacts are gitignored/regenerable).
+    variables, weights_tag = _load_trained(variables)
+    scene_batches = _load_protocol_scenes()
+    if scene_batches is not None:
+        scene_pcs_np = [
+            np.asarray(s["point_clouds"], np.float32) for s in scene_batches
+        ]
+        scene_batches = [
+            jax.tree_util.tree_map(jnp.asarray, s) for s in scene_batches
+        ]
 
     # dense-grid mode fuses the proposal-grid decode into the SAME jitted
     # program as detection+completion: ONE device dispatch per scene (the
@@ -183,9 +291,15 @@ def bench_protocol(refit: bool, mise: bool = False,
         the only synchronous work left in consume() is the extraction
         itself. The reference's test loop is fully serial
         (`test_epoch.py:10-41`)."""
-        d = dict(batch)
+        if scene_batches is not None:
+            d = dict(scene_batches[i % len(scene_batches)])
+            base_np = scene_pcs_np[i % len(scene_batches)]
+        else:
+            d = dict(batch)
+            base_np = pc_np
         # fresh per-scene jitter so no host/device caching is flattering
-        pc = jnp.asarray(pc_np + np.float32(1e-4) * np.float32(i))
+        pc_host = base_np + np.float32(1e-4) * np.float32(i)
+        pc = jnp.asarray(pc_host)
         d["point_clouds"] = pc
         out = gen_fn(variables, d)
         raw = None
@@ -237,7 +351,8 @@ def bench_protocol(refit: bool, mise: bool = False,
 
         th = threading.Thread(target=materialize)
         th.start()
-        return {"th": th, "box": box, "out": out, "pc": pc}
+        return {"th": th, "box": box, "out": out, "pc": pc,
+                "pc_np": pc_host, "d": d}
 
     def consume(pending) -> int:
         t0 = time.perf_counter()
@@ -246,6 +361,10 @@ def bench_protocol(refit: bool, mise: bool = False,
         if "err" in box:
             raise box["err"]
         valid = box["gen"]["valid"].reshape(-1)
+        if os.environ.get("BENCH_PROBE") and "grid_counts" in box:
+            c = box["grid_counts"]
+            print("probe grid_counts:", int(c.sum()), "max/prop",
+                  int(c.max()), "valid", int(valid.sum()), flush=True)
         t1 = time.perf_counter()
         if mise:
             meshes = generator.finish_meshes_device(
@@ -264,9 +383,7 @@ def bench_protocol(refit: bool, mise: bool = False,
                 GRID_RES, valid=valid,
             )
             if meshes is None:  # budget overflow: dense re-dispatch
-                d = dict(batch)
-                d["point_clouds"] = pending["pc"]
-                dense = gen_fn_dense(variables, d)
+                dense = gen_fn_dense(variables, pending["d"])
                 meshes = generator.meshes_from_grids(
                     np.asarray(dense["grids"]), valid=valid
                 )
@@ -274,7 +391,7 @@ def bench_protocol(refit: bool, mise: bool = False,
         if refit:
             fit_meshes_to_scan(
                 box["parsed"], meshes, box["gen"]["proposal_ids"],
-                box["gen"]["valid"], pc_np, 0.05,
+                box["gen"]["valid"], pending["pc_np"], 0.05,
             )
         stages["device+xfer"] += t1 - t0
         stages["mesh_extract"] += t2 - t1
@@ -307,7 +424,13 @@ def bench_protocol(refit: bool, mise: bool = False,
     if os.environ.get("BENCH_BREAKDOWN"):
         print([{k: round(v, 4) for k, v in s.items()} for s in stage_runs])
     med = int(np.argsort(rates)[1])
-    return rates[med], valid_means[med], stage_runs[med]
+    info = {
+        "weights": weights_tag,
+        "scenes": (f"{len(scene_batches)} real protocol val scenes"
+                   if scene_batches is not None
+                   else "synthetic jittered scene"),
+    }
+    return rates[med], valid_means[med], stage_runs[med], info
 
 
 def bench_demo_scale() -> float:
@@ -482,21 +605,23 @@ def bench_train() -> dict:
 
 def main() -> None:
     _enable_compile_cache()
-    protocol, mean_valid, stages = bench_protocol(refit=False)
-    protocol_refit, _, _ = bench_protocol(refit=True)
-    protocol_mise, _, mise_stages = bench_protocol(refit=False, mise=True)
+    protocol, mean_valid, stages, bench_info = bench_protocol(refit=False)
+    protocol_refit, _, _, _ = bench_protocol(refit=True)
+    protocol_mise, _, mise_stages, _ = bench_protocol(refit=False, mise=True)
     demo = bench_demo_scale()
     train_lines = bench_train()
+    ref_bound, ref_note = measure_ref_bound()
     print(json.dumps({
         "metric": "scenes_per_sec_test_protocol",
         "value": round(protocol, 4),
         "unit": "scenes/sec",
-        "vs_baseline": round(protocol / REF_SCENES_PER_SEC_BOUND, 4),
+        "vs_baseline": round(protocol / ref_bound, 4),
         "secondary": {
             "scenes_per_sec_protocol_refit": round(protocol_refit, 4),
             "scenes_per_sec_protocol_mise_64": round(protocol_mise, 4),
             "scenes_per_sec_demo_scale_device": round(demo, 4),
             "mean_valid_proposals": round(mean_valid, 2),
+            **bench_info,
             # per-stage split (median pass): device+xfer vs host MC —
             # regressions stay visible through tunnel variance
             "protocol_stage_device_xfer_s": round(stages["device+xfer"], 4),
@@ -510,9 +635,8 @@ def main() -> None:
                 mise_stages["mesh_extract"], 4
             ),
             **train_lines,
-            "vs_baseline_denominator": "measured host-floor bound "
-                f"({REF_SCENES_PER_SEC_BOUND}/s, tools/bench_ref_host.py; "
-                "see BASELINE.md)",
+            "vs_baseline_denominator": f"{round(ref_bound, 4)}/s — "
+                f"{ref_note}; see BASELINE.md",
             "protocol": "generate_limit=64, remove_empty_box, conf 0.05, "
                         "cls-NMS 0.25, dense 32^3 decode (fused pallas "
                         "kernel: bf16 MXU operands + f32 accumulate == "

@@ -102,11 +102,13 @@ def bench_ref_generation_host(nprop=64, reps=3):
     return (time.perf_counter() - t0) / reps
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--scenes", type=int, default=10)
-    args = ap.parse_args()
-
+def measure_host_floor(scenes: int = 10) -> dict:
+    """Measure the reference's serial per-scene HOST stages on THIS
+    machine and return the derived throughput upper bound. Called by
+    `bench.py` at bench time so the `vs_baseline` denominator is always
+    a same-host, same-session measurement (the floor scales with
+    single-core CPU speed — a constant recorded on one box overstates
+    or understates the ratio on another)."""
     from ref_torch import install_reference
 
     install_reference()
@@ -130,16 +132,16 @@ def main():
     }
 
     rng = np.random.RandomState(0)
-    scenes = [build_scene(rng) for _ in range(args.scenes)]
+    scene_list = [build_scene(rng) for _ in range(scenes)]
 
     # warmup (scipy Delaunay caches nothing, but import costs do)
     parse_predictions(
-        {k: v.clone() for k, v in scenes[0][0].items()}, scenes[0][1],
-        eval_config,
+        {k: v.clone() for k, v in scene_list[0][0].items()},
+        scene_list[0][1], eval_config,
     )
 
     t_parse = t_gt = t_asm = 0.0
-    for end_points, data in scenes:
+    for end_points, data in scene_list:
         ep = {k: v.clone() for k, v in end_points.items()}
         t0 = time.perf_counter()
         eval_dict, parsed = parse_predictions(ep, data, eval_config)
@@ -152,10 +154,10 @@ def main():
         t_gt += t2 - t1
         t_asm += t3 - t2
 
-    n = args.scenes
+    n = scenes
     t_gen = bench_ref_generation_host()
     host_per_scene = (t_parse + t_gt + t_asm) / n + t_gen
-    out = {
+    return {
         "scenes": n,
         "parse_predictions_s": t_parse / n,
         "parse_groundtruths_s": t_gt / n,
@@ -169,7 +171,13 @@ def main():
                 "GPU forward/decode time, so 1/t is an upper bound on "
                 "reference throughput",
     }
-    print(json.dumps(out))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", type=int, default=10)
+    args = ap.parse_args()
+    print(json.dumps(measure_host_floor(args.scenes)))
 
 
 if __name__ == "__main__":
