@@ -86,7 +86,9 @@ def measure_ref_bound() -> tuple[float, str]:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
         from bench_ref_host import measure_host_floor
 
-        m = measure_host_floor(scenes=6)
+        # scenes=10 matches the recorded BASELINE.md derivation and the
+        # standalone tool default (ADVICE r4)
+        m = measure_host_floor(scenes=10)
         return (
             float(m["ref_scenes_per_sec_upper_bound"]),
             "measured live this run (tools/bench_ref_host.py, "
@@ -197,7 +199,7 @@ def _make_batch(limit_model):
 
 
 def bench_protocol(refit: bool, mise: bool = False,
-                   bf16: bool = False) -> tuple[float, float]:
+                   bf16: bool = False) -> tuple[float, float, dict, dict]:
     """Wall-clock scenes/sec at full test-protocol settings.
 
     mise=True swaps the dense 32^3 grid for the MISE octree path
@@ -207,7 +209,8 @@ def bench_protocol(refit: bool, mise: bool = False,
     (`decoder_dtype`, the production serving mode; f32 is the parity
     default).
 
-    Returns (scenes_per_sec, mean_valid_proposals)."""
+    Returns (scenes_per_sec, mean_valid_proposals, per-stage seconds of
+    the median pass, weights/scenes provenance info)."""
     import jax
     import jax.numpy as jnp
 

@@ -104,8 +104,16 @@ class Trainer:
                 end_points, losses, shape_example, pids = out
                 return shape_example, pids
 
-            self._vis_fn = jax.jit(fn)
-        # host numpy straight into the plain jit (no standalone transfer)
+            # same in_shardings contract as the train/eval steps: only
+            # placement-declared jits take host batches without the
+            # per-call host-memory retention this runtime exhibits
+            # (`parallel/mesh.py` docstring / the round-4 OOM bisect)
+            from .trainer import _loop_shardings
+
+            self._vis_fn = jax.jit(
+                fn, **_loop_shardings(self.mesh, n_scalar_args=0)
+            )
+        # host numpy straight into the sharding-declared jit
         device_batch = {
             k: v for k, v in batch.items()
             if not isinstance(v, list) and k not in

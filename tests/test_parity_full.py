@@ -359,13 +359,31 @@ def _assert_proposal_ids_match(j_ids, t_ids, t_probs, eps=1e-4):
         )
         # (a)/(b): each side's surplus rows, sorted by objectness, must
         # pair up with the other side's within eps — a flipped tie swaps
-        # two nearly-equal-probability proposals, nothing else
-        pj = sorted(float(t_probs[b, r[0]]) for r in extra_j)
-        pt = sorted(float(t_probs[b, r[0]]) for r in extra_t)
-        for a, c in zip(pj, pt):
+        # two nearly-equal-probability proposals, nothing else. Pairing
+        # by probability alone would also excuse two simultaneous
+        # UNRELATED divergences whose probabilities coincide (ADVICE r4),
+        # so each pair must additionally be explainable as a single tie:
+        # a winner flip for the same GT row (same gt_box_id + cls_id), a
+        # GT reassignment between tied proposals (same proposal_id), or
+        # a limit-boundary cross (both probs tie the lowest selected
+        # objectness — the cutoff).
+        boundary = min(float(t_probs[b, r[0]]) for r in trows)
+        sj_rows = sorted(extra_j, key=lambda r: float(t_probs[b, r[0]]))
+        st_rows = sorted(extra_t, key=lambda r: float(t_probs[b, r[0]]))
+        for rj, rt in zip(sj_rows, st_rows):
+            a, c = float(t_probs[b, rj[0]]), float(t_probs[b, rt[0]])
             assert abs(a - c) <= eps, (
                 f"scene {b}: rows diverged beyond an objectness tie "
                 f"(probs {a} vs {c}):\n{extra_j}\nvs\n{extra_t}"
+            )
+            same_gt = rj[1:] == rt[1:]
+            same_prop = rj[0] == rt[0]
+            at_cutoff = (abs(a - boundary) <= eps
+                         and abs(c - boundary) <= eps)
+            assert same_gt or same_prop or at_cutoff, (
+                f"scene {b}: surplus pair {rj} vs {rt} shares neither "
+                f"GT row nor proposal and is not a limit-boundary tie "
+                f"(probs {a}/{c}, boundary {boundary})"
             )
 
         # (c): with surplus rows removed, the common subsequences hold the
@@ -425,6 +443,14 @@ def test_proposal_id_tie_comparator():
     bad[0, 1, 0] = 5  # prob 0.2 vs 0.5 — not a tie
     with pytest.raises(AssertionError):
         _assert_proposal_ids_match(bad, base, probs)
+    # two unrelated rows whose probabilities coincide (0.9 vs 0.9+5e-5)
+    # but that share neither GT row nor proposal and sit far from the
+    # limit boundary (0.3) — must fail (ADVICE r4: probability-only
+    # pairing would excuse this)
+    unrelated = base.copy()
+    unrelated[0, 0] = [8, 5, 7]  # replaces [0, 0, 3]
+    with pytest.raises(AssertionError):
+        _assert_proposal_ids_match(unrelated, base, probs)
     short = base.copy()
     short[0, 2] = base[0, 1]  # duplicate row -> multiset sizes differ
     with pytest.raises(AssertionError):

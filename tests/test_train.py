@@ -319,3 +319,37 @@ def test_checkpoint_roundtrip_and_partial_load(tmp_path, setup):
     ckpt2 = CheckpointIO(str(tmp_path / "run2"), log=lambda m: None)
     st, meta2 = ckpt2.resume(state)
     assert meta2["epoch"] == 3
+
+
+def test_visualize_step_host_batch(tmp_path):
+    """Trainer.visualize_step end-to-end on the virtual mesh with a HOST
+    numpy batch: the vis jit declares the same in_shardings as the
+    train/eval steps (the one leak-free host->device route on this
+    runtime, `parallel/mesh.py`), and the snapshot PNGs land in
+    cfg.save_path/vis_path."""
+    import os
+
+    from rfdnet_tpu.config.config import Config
+    from rfdnet_tpu.train.loop import Trainer
+
+    cfg = Config(
+        {
+            "data": {"num_point": N_POINTS},
+            "train": {"phase": "completion", "batch_size": 2, "epochs": 1},
+            "log": {"path": str(tmp_path), "vis_step": 1},
+        },
+        mode="train",
+    )
+    model = cfg.build_model(generate_limit=4)
+    dc = cfg.dataset_config
+    batch = synthetic_scene_batch(
+        np.random.RandomState(1), batch_size=2, num_points=N_POINTS,
+        mean_size_arr=dc.mean_size_arr,
+    )  # host numpy, straight in — no explicit device_put
+    tr = Trainer(cfg, model, dc, log=lambda m: None)
+    tr.initialize(batch)
+    tr.visualize_step(batch, epoch=0, phase="completion", it=0)
+    vis_dir = os.path.join(cfg.save_path, cfg.config["log"]["vis_path"])
+    pngs = os.listdir(vis_dir)
+    assert any(p.endswith("_pred.png") for p in pngs)
+    assert any("_gt_cls" in p for p in pngs)
