@@ -87,27 +87,39 @@ def _run_dir(out_dir):
     return runs[-1]
 
 
-def _schedule_evidence(run_dir):
-    """Parse LR-reduction events out of the run log + the per-epoch
-    lr/bn-momentum series out of scalars.jsonl."""
-    log = open(os.path.join(run_dir, "log.txt")).read()
-    reductions = re.findall(
-        r"epoch (\d+): plateau patience exceeded, LR (\S+) -> (\S+)", log
+def _schedule_evidence(stage_out_dir):
+    """Parse LR-reduction events and the per-epoch lr/bn-momentum series
+    out of EVERY run dir under the stage (VERDICT r4 item 6: an
+    OOM-interrupted stage leaves its pre-resume epochs in an earlier run
+    dir's scalars.jsonl — stitch all segments into one contiguous
+    epoch-indexed series; on overlap the newest segment wins, matching
+    resume semantics `net_utils/utils.py:119-137`)."""
+    run_dirs = sorted(
+        d for d in glob.glob(os.path.join(stage_out_dir, "*"))
+        if os.path.isdir(d)
     )
-    best = re.findall(r"epoch (\d+): new best val loss (\S+)", log)
-    schedule = []
-    scalars = os.path.join(run_dir, "scalars.jsonl")
-    if os.path.isfile(scalars):
-        with open(scalars) as f:
-            for line in f:
-                rec = json.loads(line)
-                if rec.get("phase") == "schedule":
-                    schedule.append({
-                        "epoch": int(rec["epoch"]),
-                        "lr": rec["lr"],
-                        "bn_momentum": rec["bn_momentum"],
-                        "val_total": rec["val_total"],
-                    })
+    reductions, best, by_epoch = [], [], {}
+    for run_dir in run_dirs:  # oldest -> newest so newest overrides
+        log_path = os.path.join(run_dir, "log.txt")
+        log = open(log_path).read() if os.path.isfile(log_path) else ""
+        reductions += re.findall(
+            r"epoch (\d+): plateau patience exceeded, LR (\S+) -> (\S+)",
+            log,
+        )
+        best += re.findall(r"epoch (\d+): new best val loss (\S+)", log)
+        scalars = os.path.join(run_dir, "scalars.jsonl")
+        if os.path.isfile(scalars):
+            with open(scalars) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("phase") == "schedule":
+                        by_epoch[int(rec["epoch"])] = {
+                            "epoch": int(rec["epoch"]),
+                            "lr": rec["lr"],
+                            "bn_momentum": rec["bn_momentum"],
+                            "val_total": rec["val_total"],
+                        }
+    best.sort(key=lambda eb: int(eb[0]))
     return {
         "lr_reductions": [
             {"epoch": int(e), "from": float(a), "to": float(b)}
@@ -118,7 +130,7 @@ def _schedule_evidence(run_dir):
             {"epoch": int(best[-1][0]), "val_total": float(best[-1][1])}
             if best else None
         ),
-        "schedule": schedule,
+        "schedule": [by_epoch[e] for e in sorted(by_epoch)],
     }
 
 
@@ -156,7 +168,7 @@ def main(argv=None):
               flush=True)
         cli.main(["--config", y1, "--mode", "train"])
     run1 = _run_dir(out1)
-    results["stages"]["detection"] = _schedule_evidence(run1)
+    results["stages"]["detection"] = _schedule_evidence(out1)
 
     # ---- stage 2: completion, frozen detector, finetune from stage-1 best
     out2 = os.path.join(args.out, "stage2_completion")
@@ -171,7 +183,7 @@ def main(argv=None):
               flush=True)
         cli.main(["--config", y2, "--mode", "train"])
     run2 = _run_dir(out2)
-    results["stages"]["completion"] = _schedule_evidence(run2)
+    results["stages"]["completion"] = _schedule_evidence(out2)
 
     # ---- stage 3: joint refine, completion weight 0.005 (ISCNet.yaml)
     out3 = os.path.join(args.out, "stage3_joint")
@@ -185,7 +197,7 @@ def main(argv=None):
         print(f"=== stage 3: joint, {args.epochs[2]} epochs ===", flush=True)
         cli.main(["--config", y3, "--mode", "train"])
     run3 = _run_dir(out3)
-    results["stages"]["joint"] = _schedule_evidence(run3)
+    results["stages"]["joint"] = _schedule_evidence(out3)
 
     # ---- full test protocol (`ISCNet_test.yaml:48-63`): dense 32^3 mesh
     # generation, mesh-mAP, mAP@{0.25,0.5}
