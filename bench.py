@@ -104,6 +104,46 @@ def measure_ref_bound() -> tuple[float, str]:
             "round-3 box measurement, tools/bench_ref_host.py",
         )
 
+def measure_link() -> dict:
+    """Live dev-tunnel characterization (VERDICT r4 item 1b): upload and
+    download MB/s on fresh 4 MB buffers plus null-dispatch RPC latency.
+    The headline wall-clock line is a function of these shared-infra
+    numbers (measured 3.9 MB/s at r4 judging vs ~25 MB/s at r2) — they
+    are recorded next to it so the build's own cost stays decidable."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 1 << 20  # 4 MB f32
+    x = jnp.zeros((n,), jnp.float32)
+    bump = jax.jit(lambda x, i: x + i)
+    null = jax.jit(lambda i: jnp.zeros((8,), jnp.float32) + i)
+    np.asarray(bump(x, 1.0))
+    np.asarray(null(0.0))
+    rpc = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        np.asarray(null(float(i)))
+        rpc.append(time.perf_counter() - t0)
+    ups, downs = [], []
+    host = np.zeros((n,), np.float32)
+    for i in range(3):
+        a = host + np.float32(i)  # fresh buffer defeats caching
+        t0 = time.perf_counter()
+        jax.device_put(a).block_until_ready()
+        ups.append(time.perf_counter() - t0)
+        y = bump(x, float(i))
+        y.block_until_ready()  # exclude compute; time the copy alone
+        t0 = time.perf_counter()
+        np.asarray(y)
+        downs.append(time.perf_counter() - t0)
+    mb = n * 4 / 1e6
+    return {
+        "rpc_ms": round(float(np.median(rpc)) * 1e3, 1),
+        "up_MBps": round(mb / float(np.median(ups)), 1),
+        "down_MBps": round(mb / float(np.median(downs)), 1),
+    }
+
+
 NUM_POINTS = int(os.environ.get("BENCH_POINTS", 80_000))
 GRID_RES = 32
 PROTOCOL_LIMIT = 64   # ISCNet generate_limit default (= test protocol)
@@ -198,25 +238,34 @@ def _make_batch(limit_model):
     return dc, batch, variables
 
 
-def bench_protocol(refit: bool, mise: bool = False,
-                   bf16: bool = False) -> tuple[float, float, dict, dict]:
+def bench_protocol(refit: bool, mise: bool = False, bf16: bool = False,
+                   weights: str = "auto",
+                   scenes_mode: str = "auto") -> tuple[float, float, dict, dict]:
     """Wall-clock scenes/sec at full test-protocol settings.
 
     mise=True swaps the dense 32^3 grid for the MISE octree path
     (resolution_0=16, upsampling_steps=2 -> effective 64^3, the ONet-style
-    adaptive mode `external/libmise/mise.pyx` enables).
+    adaptive mode `external/libmise/mise.pyx` enables) — device-resident
+    v2: global adaptive budgets + transfer-sparse download.
     bf16=True enables the occupancy decoder's bfloat16 activation chain
     (`decoder_dtype`, the production serving mode; f32 is the parity
     default).
+    weights="random" / scenes_mode="synthetic" force the round-3
+    comparable configuration (random-init weights, jittered synthetic
+    scene) regardless of which artifacts exist on disk — VERDICT r4
+    item 5 asks for one round of overlap between the old and new
+    headline definitions.
 
-    Returns (scenes_per_sec, mean_valid_proposals, per-stage seconds of
-    the median pass, weights/scenes provenance info)."""
+    Returns (scenes_per_sec, mean_valid_proposals, per-stage stats of
+    the median pass — seconds plus bytes_up/bytes_down per scene —,
+    weights/scenes provenance info)."""
     import jax
     import jax.numpy as jnp
 
     from rfdnet_tpu.config.scannet import ScannetConfig
     from rfdnet_tpu.eval.refit import fit_meshes_to_scan
     from rfdnet_tpu.meshing.generator import Generator3D
+    from rfdnet_tpu.meshing.transfer import SparseGridFetcher
     from rfdnet_tpu.models import ISCNet
 
     dc = ScannetConfig()
@@ -233,8 +282,12 @@ def bench_protocol(refit: bool, mise: bool = False,
     # the protocol-run checkpoint the meshes (and the transfer-sparse
     # payload) are real. Falls back to random-init + a synthetic scene on
     # a fresh checkout (both artifacts are gitignored/regenerable).
-    variables, weights_tag = _load_trained(variables)
-    scene_batches = _load_protocol_scenes()
+    if weights == "random":
+        weights_tag = "random-init (forced: r3-comparable line)"
+    else:
+        variables, weights_tag = _load_trained(variables)
+    scene_batches = (None if scenes_mode == "synthetic"
+                     else _load_protocol_scenes())
     if scene_batches is not None:
         scene_pcs_np = [
             np.asarray(s["point_clouds"], np.float32) for s in scene_batches
@@ -280,7 +333,9 @@ def bench_protocol(refit: bool, mise: bool = False,
         )
 
     pc_np = np.asarray(batch["point_clouds"])
-    stages = {"device+xfer": 0.0, "mesh_extract": 0.0, "refit": 0.0}
+    stages = {"device+xfer": 0.0, "mesh_extract": 0.0, "refit": 0.0,
+              "bytes_up": 0.0, "bytes_down": 0.0}
+    fetcher = SparseGridFetcher()
 
     import threading
 
@@ -307,55 +362,82 @@ def bench_protocol(refit: bool, mise: bool = False,
         out = gen_fn(variables, d)
         raw = None
         if mise:
-            raw = generator.dispatch_octree(
-                out["gen"]["features"], out["gen"]["cls_codes"]
+            raw = generator.dispatch_octree_global(
+                out["gen"]["features"], out["gen"]["cls_codes"],
+                out["gen"]["valid"].reshape(-1),
             )
+        # async-copy ONLY what materialize() reads (the sparse grid
+        # payload goes through the counts-sized valid-prefix fetcher; the
+        # per-proposal conditioning codes stay on device)
+        gen_small = {k: v for k, v in out["gen"].items()
+                     if k not in ("features", "cls_codes")}
         for leaf in jax.tree_util.tree_leaves(
-            (out["parsed"], out["gen"], out.get("grids"),
-             out.get("grid_bits"), out.get("grid_vals"),
-             out.get("grid_counts"),
-             out["completion_loss"], out.get("shape_voxels_bits"))
+            (out["parsed"], gen_small, out.get("grids"),
+             out.get("grid_counts"), out["completion_loss"])
         ):
             try:
                 leaf.copy_to_host_async()
             except AttributeError:
                 pass
-        box: dict = {}
+        box: dict = {"_down": 0}
+
+        def fetch(v):
+            a = np.asarray(v)
+            box["_down"] += a.nbytes
+            return a
 
         def materialize():
             try:
                 box["parsed"] = {
-                    k: np.asarray(v) for k, v in out["parsed"].items()
+                    k: fetch(v) for k, v in out["parsed"].items()
                 }
                 box["gen"] = {
-                    k: np.asarray(v) for k, v in out["gen"].items()
+                    k: (v if k in ("features", "cls_codes") else fetch(v))
+                    for k, v in out["gen"].items()
                 }
                 box["completion_loss"] = float(out["completion_loss"])
-                if out.get("shape_voxels_bits") is not None:
-                    box["shape_voxels"] = np.asarray(
-                        out["shape_voxels_bits"]
-                    )
+                box["_down"] += 4
+                valid_np = box["gen"]["valid"].reshape(-1).astype(bool)
                 if mise:
-                    # syncs on the octree counts, dispatches compaction,
-                    # downloads the compact buffers
-                    handle = generator.compact_octree(raw)
-                    handle["levels"] = [
-                        tuple(np.asarray(x) for x in lv)
-                        for lv in handle["levels"]
-                    ]
-                    handle["lvl0"] = np.asarray(handle["lvl0"])
-                    box["handle"] = handle
+                    # syncs totals, adaptively re-dispatches on budget
+                    # overflow, starts the counts-sized download
+                    box["handle"] = generator.resolve_octree_global(
+                        raw, out["gen"]["features"],
+                        out["gen"]["cls_codes"],
+                        out["gen"]["valid"].reshape(-1),
+                    )
+                    box["_down"] += (
+                        generator._mise_v2_fetcher.last_bytes
+                        + box["handle"]["counts"].nbytes + 8
+                    )
                 else:
-                    box["grid_bits"] = np.asarray(out["grid_bits"])
-                    box["grid_vals"] = np.asarray(out["grid_vals"])
-                    box["grid_counts"] = np.asarray(out["grid_counts"])
+                    counts = fetch(out["grid_counts"])
+                    res = fetcher.fetch(
+                        out["grid_bits"], out["grid_vals"], counts,
+                        valid_np, vox=out.get("shape_voxels_bits"),
+                    )
+                    if res is not None:
+                        bits_np, vals_np, vox_np = res
+                        box["_down"] += fetcher.last_bytes
+                        box["grid_bits"] = bits_np
+                        box["grid_vals"] = vals_np
+                        box["grid_counts"] = counts
+                        if vox_np is not None:
+                            box["shape_voxels"] = vox_np
+                    else:  # sparse budget overflow: dense re-dispatch
+                        box["grid_bits"] = fetch(out["grid_bits"])
+                        box["grid_vals"] = np.zeros((0,), np.float16)
+                        box["grid_counts"] = counts
+                if ("shape_voxels" not in box
+                        and out.get("shape_voxels_bits") is not None):
+                    box["shape_voxels"] = fetch(out["shape_voxels_bits"])
             except Exception as e:  # surfaced at join time
                 box["err"] = e
 
         th = threading.Thread(target=materialize)
         th.start()
         return {"th": th, "box": box, "out": out, "pc": pc,
-                "pc_np": pc_host, "d": d}
+                "pc_np": pc_host, "d": d, "_up": pc_host.nbytes}
 
     def consume(pending) -> int:
         t0 = time.perf_counter()
@@ -370,16 +452,9 @@ def bench_protocol(refit: bool, mise: bool = False,
                   int(c.max()), "valid", int(valid.sum()), flush=True)
         t1 = time.perf_counter()
         if mise:
-            meshes = generator.finish_meshes_device(
+            meshes = generator.finish_meshes_global(
                 box["handle"], valid=valid,
-                features=pending["out"]["gen"]["features"],
-                cls_codes=pending["out"]["gen"]["cls_codes"],
             )
-            if meshes is None:  # budget overflow: exact host fallback
-                meshes = generator.generate_meshes(
-                    box["gen"]["features"], box["gen"]["cls_codes"],
-                    valid=valid,
-                )
         else:
             meshes = generator.meshes_from_sparse_grids(
                 box["grid_bits"], box["grid_vals"], box["grid_counts"],
@@ -387,9 +462,9 @@ def bench_protocol(refit: bool, mise: bool = False,
             )
             if meshes is None:  # budget overflow: dense re-dispatch
                 dense = gen_fn_dense(variables, pending["d"])
-                meshes = generator.meshes_from_grids(
-                    np.asarray(dense["grids"]), valid=valid
-                )
+                g = np.asarray(dense["grids"])
+                box["_down"] += g.nbytes
+                meshes = generator.meshes_from_grids(g, valid=valid)
         t2 = time.perf_counter()
         if refit:
             fit_meshes_to_scan(
@@ -399,6 +474,8 @@ def bench_protocol(refit: bool, mise: bool = False,
         stages["device+xfer"] += t1 - t0
         stages["mesh_extract"] += t2 - t1
         stages["refit"] += time.perf_counter() - t2
+        stages["bytes_up"] += pending["_up"]
+        stages["bytes_down"] += box["_down"]
         return int(valid.sum())
 
     consume(dispatch(0))  # compile (generate + decode [+ refit])
@@ -434,6 +511,85 @@ def bench_protocol(refit: bool, mise: bool = False,
                    else "synthetic jittered scene"),
     }
     return rates[med], valid_means[med], stage_runs[med], info
+
+
+def bench_protocol_device_only() -> float:
+    """Pure device seconds/scene for the FULL protocol program (64
+    proposal slots, sparse-grid export — everything the headline line
+    dispatches), fori_loop-chained so the tunnel's per-dispatch RPC
+    cancels out. This is the `device_ms` term of the bare-metal
+    projection (VERDICT r4 item 1b)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rfdnet_tpu.config.scannet import ScannetConfig
+    from rfdnet_tpu.models import ISCNet
+
+    dc = ScannetConfig()
+    model = ISCNet(
+        mean_size_arr=dc.mean_size_arr,
+        phase="completion",
+        generate_limit=PROTOCOL_LIMIT,
+    )
+    _, batch, variables = _make_batch(model)
+    variables, _ = _load_trained(variables)
+    impl = "pallas" if jax.default_backend() == "tpu" else None
+    kw = dict(
+        nms_iou=0.25, use_cls_nms=True, dump_threshold=0.05,
+        remove_empty_box=True, decode_grid_res=GRID_RES,
+        grid_dtype="float16", grid_impl=impl,
+        grid_sparse_budget=1 << 19,
+    )
+
+    def scene_fn(variables, d):
+        out = model.apply(
+            variables, d, method=ISCNet.generate, mutable=False, **kw
+        )
+        return (out["parsed"], out["gen"], out["grid_bits"],
+                out["grid_vals"], out["grid_counts"],
+                out["completion_loss"], out["shape_voxels_bits"])
+
+    def scalarize(tree):
+        import jax as _j
+
+        return sum(
+            jnp.sum(leaf.astype(jnp.float32))
+            for leaf in _j.tree_util.tree_leaves(tree)
+        )
+
+    d0 = dict(batch)
+
+    @jax.jit
+    def run_n(variables, d):
+        def body(i, carry):
+            eps, acc = carry
+            dd = dict(d)
+            dd["point_clouds"] = d["point_clouds"] + eps
+            s = scalarize(scene_fn(variables, dd))
+            return s * 1e-38, acc + s
+
+        _, acc = jax.lax.fori_loop(
+            0, DEVICE_ITERS, body, (jnp.float32(0), jnp.float32(0))
+        )
+        return acc
+
+    @jax.jit
+    def null(variables, d):
+        return jnp.sum(d["point_clouds"].ravel()[:1])
+
+    np.asarray(run_n(variables, d0))
+    np.asarray(run_n(variables, d0))
+    np.asarray(null(variables, d0))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run_n(variables, d0))
+        t_run = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(null(variables, d0))
+        ts.append(max(t_run - (time.perf_counter() - t0), 1e-9)
+                  / DEVICE_ITERS)
+    return float(np.median(ts))
 
 
 def bench_demo_scale() -> float:
@@ -554,8 +710,16 @@ def bench_train() -> dict:
     @jax.jit
     def run_n(state, batch, rng):
         def body(i, st):
+            # perturb the point cloud per iteration: FPS/ball-query are
+            # parameter-FREE subgraphs, so with a loop-invariant batch
+            # XLA hoists them out of the fori_loop and the measured step
+            # excludes ~40 ms of real sampling cost (r5 profiling find)
+            b = dict(batch)
+            b["point_clouds"] = batch["point_clouds"] + (
+                jnp.float32(1e-7) * st.step.astype(jnp.float32)
+            )
             st2, _ = raw_step(
-                st, batch, jax.random.fold_in(rng, i),
+                st, b, jax.random.fold_in(rng, i),
                 jnp.float32(1e-3), jnp.float32(0.5),
             )
             return st2
@@ -608,12 +772,30 @@ def bench_train() -> dict:
 
 def main() -> None:
     _enable_compile_cache()
+    link = measure_link()
     protocol, mean_valid, stages, bench_info = bench_protocol(refit=False)
     protocol_refit, _, _, _ = bench_protocol(refit=True)
     protocol_mise, _, mise_stages, _ = bench_protocol(refit=False, mise=True)
+    # round-3-comparable overlap line (VERDICT r4 item 5): random-init
+    # weights + jittered synthetic scene, the r1-r3 headline definition
+    protocol_r3, _, _, _ = bench_protocol(
+        refit=False, weights="random", scenes_mode="synthetic"
+    )
+    device_s = bench_protocol_device_only()
     demo = bench_demo_scale()
     train_lines = bench_train()
     ref_bound, ref_note = measure_ref_bound()
+
+    # bare-metal projection (VERDICT r4 item 1): on-host deployment the
+    # per-scene cost is device compute + host mesh extraction + the
+    # measured payload over a PCIe-class 10 GB/s link (vs the dev
+    # tunnel's single-digit-MB/s shared WAN). Host MC overlaps the next
+    # scene's device work in the pipelined serving loop, so the critical
+    # path is max(device, host) + payload; the projection still SUMS them
+    # (conservative).
+    payload = stages["bytes_up"] + stages["bytes_down"]
+    host_s = stages["mesh_extract"] + stages["refit"]
+    projected = 1.0 / (device_s + host_s + payload / 10e9)
     print(json.dumps({
         "metric": "scenes_per_sec_test_protocol",
         "value": round(protocol, 4),
@@ -622,9 +804,24 @@ def main() -> None:
         "secondary": {
             "scenes_per_sec_protocol_refit": round(protocol_refit, 4),
             "scenes_per_sec_protocol_mise_64": round(protocol_mise, 4),
+            "scenes_per_sec_r3_comparable": round(protocol_r3, 4),
             "scenes_per_sec_demo_scale_device": round(demo, 4),
             "mean_valid_proposals": round(mean_valid, 2),
             **bench_info,
+            # --- environment + payload decomposition (VERDICT r4 item 1)
+            "tunnel_rpc_ms": link["rpc_ms"],
+            "tunnel_up_MBps": link["up_MBps"],
+            "tunnel_down_MBps": link["down_MBps"],
+            "payload_up_bytes_per_scene": int(stages["bytes_up"]),
+            "payload_down_bytes_per_scene": int(stages["bytes_down"]),
+            "protocol_device_s_per_scene": round(device_s, 4),
+            "protocol_host_s_per_scene": round(host_s, 4),
+            "projected_bare_metal_scenes_per_sec": round(projected, 2),
+            "projected_vs_baseline": round(projected / ref_bound, 2),
+            "projection_model": "1/(device_s + host_s + payload/10GB/s); "
+                "device_s fori_loop-timed on chip, host_s measured, "
+                "payload counted per scene; assumes PCIe-class host "
+                "link + sub-ms dispatch (tunnel RPC measured above)",
             # per-stage split (median pass): device+xfer vs host MC —
             # regressions stay visible through tunnel variance
             "protocol_stage_device_xfer_s": round(stages["device+xfer"], 4),
@@ -637,6 +834,9 @@ def main() -> None:
             "mise_stage_mesh_extract_s": round(
                 mise_stages["mesh_extract"], 4
             ),
+            "mise_payload_down_bytes_per_scene": int(
+                mise_stages["bytes_down"]
+            ),
             **train_lines,
             "vs_baseline_denominator": f"{round(ref_bound, 4)}/s — "
                 f"{ref_note}; see BASELINE.md",
@@ -645,11 +845,15 @@ def main() -> None:
                         "kernel: bf16 MXU operands + f32 accumulate == "
                         "MXU default-precision f32), transfer-sparse f16 "
                         "grids (sign bits + iso-neighborhood values; "
-                        "byte-identical meshes), host marching cubes "
+                        "byte-identical meshes) with counts-sized "
+                        "valid-prefix downloads, host marching cubes "
                         "(bit-packed cell scan), depth-1 scene pipeline "
                         "with threaded transfer overlap; wall-clock incl. "
                         "tunnel RPC; all lines median-of-3. device_xfer "
-                        "stage = residual transfer wait after overlap",
+                        "stage = residual transfer wait after overlap. "
+                        "mise_64: device-resident octree v2 (global "
+                        "adaptive budgets, valid gating, transfer-sparse "
+                        "65^3 download)",
         },
     }))
 

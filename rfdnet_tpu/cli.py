@@ -39,6 +39,10 @@ def _build_loaders(cfg: Config, modes):
             dataset_config=cfg.dataset_config,
             seed=cfg.config.get("seed", 10),
             augment=d.get("augment"),
+            # per-worker LRU caches of decoded npz/binvox (entry counts;
+            # decode cost dominates small-core hosts — see ScanNetDataset)
+            cache_scans=int(d.get("cache_scans", 0)),
+            cache_shapenet=int(d.get("cache_shapenet", 256)),
         )
         loaders[mode] = DataLoader(
             ds,

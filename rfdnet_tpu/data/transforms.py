@@ -42,23 +42,26 @@ def subsample_points(points: np.ndarray, occ: np.ndarray, n, mode: str,
 
     n_out, n_in = n
     binary = occ >= 0.5
-    p_out = points[~binary]
-    p_in = points[binary]
+    # index-pool gathers: materializing points[~binary]/points[binary]
+    # copies ~100k rows per object per item; gathering only the n_out +
+    # n_in chosen rows is ~10x cheaper on the loader's critical path
+    out_pool = np.flatnonzero(~binary)
+    in_pool = np.flatnonzero(binary)
     if mode == "test":
         idx0 = np.arange(0, n_out)
         idx1 = np.arange(0, n_in)
     else:
-        idx0 = rng.randint(max(p_out.shape[0], 1), size=n_out) % max(
-            p_out.shape[0], 1
+        idx0 = rng.randint(max(out_pool.shape[0], 1), size=n_out) % max(
+            out_pool.shape[0], 1
         )
-        idx1 = rng.randint(max(p_in.shape[0], 1), size=n_in) % max(
-            p_in.shape[0], 1
+        idx1 = rng.randint(max(in_pool.shape[0], 1), size=n_in) % max(
+            in_pool.shape[0], 1
         )
-    if p_out.shape[0] == 0:
-        p_out = np.zeros((1, 3), dtype=points.dtype)
-    if p_in.shape[0] == 0:
-        p_in = np.zeros((1, 3), dtype=points.dtype)
-    pts = np.concatenate([p_out[idx0], p_in[idx1]], axis=0)
+    p_out = (points[out_pool[idx0]] if out_pool.shape[0]
+             else np.zeros((n_out, 3), dtype=points.dtype))
+    p_in = (points[in_pool[idx1]] if in_pool.shape[0]
+            else np.zeros((n_in, 3), dtype=points.dtype))
+    pts = np.concatenate([p_out, p_in], axis=0)
     occ_out = np.concatenate(
         [np.zeros(n_out, np.float32), np.ones(n_in, np.float32)]
     )

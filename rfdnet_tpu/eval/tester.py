@@ -158,6 +158,12 @@ class Tester:
             decode_fn_grad=decode_grad,
         )
         self.voxel_pool = ThreadPoolExecutor(8)
+        # counts-sized valid-prefix downloads of the sparse-grid payload
+        # (meshing/transfer.py); byte counter feeds the bench/driver stats
+        from ..meshing.transfer import SparseGridFetcher
+
+        self._fetcher = SparseGridFetcher()
+        self.transfer_down_bytes = 0
 
     def _apply_generate(self, variables, batch, **kw):
         return self.model.apply(
@@ -190,40 +196,96 @@ class Tester:
              "shapenet_catids", "shapenet_ids", "scan_idx")
         }
         out = self._gen_fn(self.variables, device_batch)
-        for leaf in jax.tree_util.tree_leaves(out):
+        # async-copy ONLY what materialize() reads: `out` also carries
+        # end_points (seed/vote features, ~MBs) and the per-proposal
+        # conditioning codes, which stay device-resident — copying every
+        # leaf was pure wasted device->host traffic (VERDICT r5 prep)
+        gen_dev = out.get("gen", {})
+        needed = [
+            out["parsed"],
+            {k: v for k, v in gen_dev.items()
+             if k not in ("features", "cls_codes")},
+            out.get("completion_loss"),
+            out.get("grids"),
+        ]
+        sparse_ok = (
+            out.get("grid_bits") is not None
+            and out["grid_bits"].shape[0] == gen_dev.get(
+                "valid", np.zeros((1, 0))
+            ).reshape(-1).shape[0]
+        )
+        if not sparse_ok:
+            needed += [out.get("grid_bits"), out.get("grid_vals"),
+                       out.get("shape_voxels_bits"),
+                       out.get("shape_voxels")]
+        needed.append(out.get("grid_counts"))
+        for leaf in jax.tree_util.tree_leaves(needed):
             try:
                 leaf.copy_to_host_async()
             except AttributeError:
                 pass
         box: dict = {}
 
+        def fetch(v):
+            a = np.asarray(v)
+            self.transfer_down_bytes += a.nbytes
+            return a
+
         def materialize():
             try:
                 box["parsed"] = {
-                    k: np.asarray(v) for k, v in out["parsed"].items()
+                    k: fetch(v) for k, v in out["parsed"].items()
                 }
+                # features/cls_codes stay DEVICE arrays: the host only
+                # needs them for refine/normals (off in every shipped
+                # config), and the generator indexes them lazily
                 box["gen"] = (
-                    {k: np.asarray(v) for k, v in out["gen"].items()}
+                    {k: (v if k in ("features", "cls_codes") else fetch(v))
+                     for k, v in gen_dev.items()}
                     if "gen" in out else {}
                 )
                 if "completion_loss" in out:
                     box["completion_loss"] = float(out["completion_loss"])
-                if out.get("shape_voxels_bits") is not None:
-                    box["shape_voxels_bits"] = np.asarray(
-                        out["shape_voxels_bits"]
+                    self.transfer_down_bytes += 4
+                if sparse_ok:
+                    counts = fetch(out["grid_counts"])
+                    res = self._fetcher.fetch(
+                        out["grid_bits"], out["grid_vals"], counts,
+                        box["gen"]["valid"],
+                        vox=out.get("shape_voxels_bits"),
                     )
-                elif out.get("shape_voxels") is not None:
-                    # pre-bit-packing generate output (compat)
-                    v = np.asarray(out["shape_voxels"])
-                    box["shape_voxels_bits"] = np.packbits(
-                        (v >= 0.5).reshape(v.shape[0], -1), axis=-1
-                    )
-                if out.get("grid_bits") is not None:
-                    box["grid_bits"] = np.asarray(out["grid_bits"])
-                    box["grid_vals"] = np.asarray(out["grid_vals"])
-                    box["grid_counts"] = np.asarray(out["grid_counts"])
+                    if res is not None:
+                        bits_np, vals_np, vox_np = res
+                        self.transfer_down_bytes += self._fetcher.last_bytes
+                        box["grid_bits"] = bits_np
+                        box["grid_vals"] = vals_np
+                        box["grid_counts"] = counts
+                        if vox_np is not None:
+                            box["shape_voxels_bits"] = vox_np
+                    else:
+                        # budget overflow: ship counts so consume_step's
+                        # meshes_from_sparse_grids triggers the dense
+                        # re-dispatch fallback
+                        box["grid_bits"] = fetch(out["grid_bits"])
+                        box["grid_vals"] = np.zeros((0,), np.float16)
+                        box["grid_counts"] = counts
+                elif out.get("grid_bits") is not None:
+                    box["grid_bits"] = fetch(out["grid_bits"])
+                    box["grid_vals"] = fetch(out["grid_vals"])
+                    box["grid_counts"] = fetch(out["grid_counts"])
+                if "shape_voxels_bits" not in box:
+                    if out.get("shape_voxels_bits") is not None:
+                        box["shape_voxels_bits"] = fetch(
+                            out["shape_voxels_bits"]
+                        )
+                    elif out.get("shape_voxels") is not None:
+                        # pre-bit-packing generate output (compat)
+                        v = fetch(out["shape_voxels"])
+                        box["shape_voxels_bits"] = np.packbits(
+                            (v >= 0.5).reshape(v.shape[0], -1), axis=-1
+                        )
                 if "grids" in out:
-                    box["grids"] = np.asarray(out["grids"])
+                    box["grids"] = fetch(out["grids"])
             except Exception as e:  # surfaced at consume time
                 box["err"] = e
 

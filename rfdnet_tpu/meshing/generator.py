@@ -103,18 +103,23 @@ class Generator3D:
             grids = None
             if self.mise_impl == "device":
                 try:
-                    handle = self.start_grids_device(features, cls_codes)
                     if self.extract_fn is marching_cubes:
-                        # sparse-direct extraction (no dense grid at all)
-                        meshes = self.finish_meshes_device(
+                        # v2 path: global adaptive budgets, valid gating,
+                        # on-device to_dense + transfer-sparse download
+                        # (doubles budgets on overflow instead of falling
+                        # back to the host octree — VERDICT r4 item 2)
+                        raw = self.dispatch_octree_global(
+                            features, cls_codes, valid
+                        )
+                        handle = self.resolve_octree_global(
+                            raw, features, cls_codes, valid
+                        )
+                        return self.finish_meshes_global(
                             handle, valid=valid, features=features,
                             cls_codes=cls_codes,
                         )
-                        if meshes is not None:
-                            return meshes
-                        self._warn_overflow(handle)
-                    else:
-                        grids = self.finish_grids_device(handle)
+                    handle = self.start_grids_device(features, cls_codes)
+                    grids = self.finish_grids_device(handle)
                 except Exception as e:  # non-traceable decode_fn etc.
                     if not getattr(self, "_mise_device_warned", False):
                         self._mise_device_warned = True
@@ -143,6 +148,109 @@ class Generator3D:
               f"proposal(s) (counts max {counts.max(0)}, budgets "
               f"{self._mise_budgets_eff}); {what} "
               f"(warned once per run)")
+
+    # ----------------------------------------------- device MISE v2 (global)
+    def _mise_fn_global(self):
+        """Jitted global-budget octree program for the CURRENT budgets
+        (compiled once per budget tuple; the persistent compile cache
+        amortizes re-dispatches across runs)."""
+        import jax
+
+        from .mise_device import make_mise_device_global
+
+        if not hasattr(self, "_mise_v2_fns"):
+            self._mise_v2_fns = {}
+            # initial totals: a 16*n^2 surface-shell guess per level; the
+            # overflow loop doubles (and persists) whatever reality needs
+            self._mise_v2_budgets = self.mise_budgets or [
+                16 * (self.resolution0 * 2**l) ** 2
+                for l in range(self.upsampling_steps)
+            ]
+            self._mise_v2_sparse = 1 << 20
+            from .transfer import SparseGridFetcher
+
+            self._mise_v2_fetcher = SparseGridFetcher()
+        key = (tuple(self._mise_v2_budgets), self._mise_v2_sparse)
+        fn = self._mise_v2_fns.get(key)
+        if fn is None:
+            fn = jax.jit(make_mise_device_global(
+                self.decode_fn, self.resolution0, self.upsampling_steps,
+                self.threshold, self.padding,
+                level_budgets=self._mise_v2_budgets,
+                sparse_budget=self._mise_v2_sparse,
+            ))
+            self._mise_v2_fns[key] = fn
+        return fn
+
+    def dispatch_octree_global(self, features, cls_codes, valid=None):
+        """Async phase 0: launch the one-dispatch octree program (current
+        budgets). Returns raw device outputs; pipeline under the previous
+        scene's host work, then call `resolve_octree_global`."""
+        import jax.numpy as jnp
+
+        fn = self._mise_fn_global()
+        v = None if valid is None else jnp.asarray(valid).reshape(-1)
+        return fn(jnp.asarray(features), jnp.asarray(cls_codes), v)
+
+    def resolve_octree_global(self, raw, features, cls_codes, valid=None):
+        """Phase 1: sync the (tiny) totals; while any level budget or the
+        sparse-values budget overflowed, double it and re-dispatch (each
+        new budget tuple compiles once — steady state is zero
+        re-dispatches because budgets persist across scenes). Then start
+        the counts-sized valid-prefix download. Returns a handle for
+        `finish_meshes_global`."""
+        import numpy as np
+
+        bits, vals, needed, totals = raw
+        for _ in range(12):  # budgets grow 2^12 max = plenty
+            totals_np = np.asarray(totals)
+            needed_np = np.asarray(needed)
+            grew = False
+            for l, t in enumerate(totals_np):
+                if int(t) > self._mise_v2_budgets[l]:
+                    b = self._mise_v2_budgets[l]
+                    while b < int(t):
+                        b *= 2
+                    self._mise_v2_budgets[l] = b
+                    grew = True
+            if int(needed_np.sum()) > self._mise_v2_sparse:
+                while self._mise_v2_sparse < int(needed_np.sum()):
+                    self._mise_v2_sparse *= 2
+                grew = True
+            if not grew:
+                break
+            if not getattr(self, "_v2_grew_once", False):
+                self._v2_grew_once = True
+                print(f"[generator] device MISE budgets grown to "
+                      f"{self._mise_v2_budgets} "
+                      f"(+sparse {self._mise_v2_sparse}); re-dispatching "
+                      f"(adaptive — reported once per run)")
+            bits, vals, needed, totals = self.dispatch_octree_global(
+                features, cls_codes, valid
+            )
+        nb = int(bits.shape[0])
+        valid_np = (np.ones((nb,), bool) if valid is None
+                    else np.asarray(valid).reshape(-1).astype(bool))
+        fetched = self._mise_v2_fetcher.fetch(
+            bits, vals, needed_np, valid_np
+        )
+        assert fetched is not None  # sparse budget was grown above
+        bits_np, vals_np, _ = fetched
+        return {"bits": bits_np, "vals": vals_np, "counts": needed_np}
+
+    def finish_meshes_global(self, handle, valid=None, features=None,
+                             cls_codes=None):
+        """Phase 2: marching cubes from the transfer-sparse form of the
+        (R+1)^3 field — the identical host path the dense-grid protocol
+        uses (`meshes_from_sparse_grids`), so meshes are byte-identical
+        to extracting the dense device field."""
+        R = self.resolution0 * 2**self.upsampling_steps
+        meshes = self.meshes_from_sparse_grids(
+            handle["bits"], handle["vals"], handle["counts"], R + 1,
+            valid=valid, features=features, cls_codes=cls_codes,
+        )
+        assert meshes is not None
+        return meshes
 
     def _mise_device_setup(self):
         import jax

@@ -233,6 +233,194 @@ def make_mise_device(
     return run
 
 
+def make_mise_device_global(
+    decode_fn: Callable,
+    resolution_0: int,
+    upsampling_steps: int,
+    threshold: float,
+    padding: float,
+    level_budgets: Sequence[int],
+    sparse_budget: int,
+    out_dtype=jnp.float16,
+    chunk_rows: int = 2048,
+):
+    """Device MISE v2 (VERDICT r4 item 2): the refinement budget is
+    GLOBAL across proposals and the output is the transfer-sparse form of
+    the final dense field.
+
+    The r3/r4 design gave every proposal slot the same static per-level
+    budget, so one complex trained field overflowed the whole scene to
+    the host octree (budgets [1024, 4096] vs measured counts up to
+    [3057, 4112] — `BENCH_r04` tail), while INVALID slots (52 of 64 on
+    the rehearsal checkpoint) burned identical decode FLOPs on garbage
+    features. Here:
+
+    - `valid` gating floors invalid proposals' coarse lattices to
+      "everywhere outside" right after the level-0 decode, so they spawn
+      zero refinement voxels and ship zero bytes;
+    - each refinement level compacts the ACTIVE (mixed-sign, fully
+      known) voxels of ALL proposals into one (prop, voxel) list capped
+      by ``level_budgets[l]`` — a scene-level bound that rides the
+      compile cache when the caller doubles it on overflow — and decodes
+      each voxel's 27-point child lattice with its own proposal's
+      conditioning (features/cls gathered per voxel row; the decoder is
+      pointwise given (feature, point), so (K, 27) rows are just another
+      batch shape);
+    - after the ancestor fill (`to_dense`), the full (R+1)^3 field is
+      narrowed to ``out_dtype`` and reduced to the transfer-sparse form
+      (`sparsify_grids`: sign bits + iso-neighborhood values), which the
+      host turns into meshes with `marching_cubes_bits` — byte-identical
+      to extracting the dense download, via the identical code path the
+      dense 32^3 protocol already uses.
+
+    Returns fn(features (Nb,c), cls_codes (Nb,nc), valid (Nb,) bool) ->
+      (bits (Nb, (R+1)^3/8 round up) uint8,
+       vals (sparse_budget,) out_dtype,
+       needed_counts (Nb,) int32            # sparsify per-proposal counts
+       level_totals (steps,) int32)         # TRUE active totals per level;
+    overflow iff level_totals[l] > level_budgets[l] or
+    needed_counts.sum() > sparse_budget — the caller re-dispatches at
+    doubled budgets (each budget tuple compiles once, cached).
+
+    Match: `external/libmise/mise.pyx` (host octree, works at any
+    occupancy), `generator.py:78-121`.
+    """
+    res0 = int(resolution_0)
+    steps = int(upsampling_steps)
+    R = res0 * 2**steps
+    box_size = 1.0 + padding
+    logit_thresh = float(np.log(threshold) - np.log(1.0 - threshold))
+    level_budgets = [int(b) for b in level_budgets]
+
+    ax0 = np.arange(0, R + 1, 2**steps, dtype=np.int32)
+    gx, gy, gz = np.meshgrid(ax0, ax0, ax0, indexing="ij")
+    lvl0_pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)
+
+    def _narrow(x):
+        if out_dtype == jnp.float16:
+            x = jnp.clip(x, -6e4, 6e4)
+        return x.astype(out_dtype)
+
+    def run(features, cls_codes, valid=None):
+        Nb = features.shape[0]
+        values = jnp.zeros((Nb, R + 1, R + 1, R + 1), jnp.float32)
+        known = jnp.zeros((Nb, R + 1, R + 1, R + 1), bool)
+        bidx = jnp.arange(Nb, dtype=jnp.int32)[:, None]
+
+        def to_coords(pts_lattice):
+            return box_size * (pts_lattice.astype(jnp.float32) / R - 0.5)
+
+        # ------------------------------------------------------ level 0
+        p0 = jnp.broadcast_to(
+            jnp.asarray(lvl0_pts)[None], (Nb, len(lvl0_pts), 3)
+        )
+        T0 = p0.shape[1]
+        ct = chunk_rows * 27  # reuse the row chunking budget point-wise
+        if T0 <= ct:
+            v0 = decode_fn(features, cls_codes, to_coords(p0)).astype(
+                jnp.float32
+            )
+        else:
+            v0 = jnp.concatenate(
+                [
+                    decode_fn(
+                        features, cls_codes, to_coords(p0[:, k: k + ct])
+                    ).astype(jnp.float32)
+                    for k in range(0, T0, ct)
+                ],
+                axis=1,
+            )
+        if valid is not None:
+            # invalid slots: everywhere-outside field -> no refinement,
+            # no sparse payload, empty mesh
+            v0 = jnp.where(valid.reshape(Nb, 1), v0, -1e4)
+        values = values.at[bidx, p0[..., 0], p0[..., 1], p0[..., 2]].set(v0)
+        known = known.at[bidx, p0[..., 0], p0[..., 1], p0[..., 2]].set(True)
+
+        totals = []
+        # --------------------------------------------- refinement levels
+        for l in range(steps):
+            s = 2 ** (steps - l)
+            n = res0 * 2**l
+            K = level_budgets[l]
+            offs = jnp.asarray(_offsets(s))  # (27, 3)
+
+            act = jax.vmap(
+                lambda v, k: _active_voxels(v, k, n, s, logit_thresh)
+            )(values, known)  # (Nb, n, n, n)
+            flat = act.reshape(-1)
+            total = jnp.sum(flat, dtype=jnp.int32)
+            totals.append(total)
+            # O(N) stream compaction by cumulative position (ascending
+            # (prop, voxel) order) — top_k over Nb*n^3 keys with K in the
+            # tens of thousands is far slower on the VPU
+            pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+            tgt = jnp.where(flat & (pos < K), pos, K)
+            gidx = (
+                jnp.zeros((K + 1,), jnp.int32)
+                .at[tgt]
+                .set(jnp.arange(flat.shape[0], dtype=jnp.int32))[:K]
+            )
+            gvalid = jnp.arange(K, dtype=jnp.int32) < total
+            gprop = (gidx // (n * n * n)).astype(jnp.int32)
+            vox = gidx % (n * n * n)
+            ii = vox // (n * n)
+            jj = (vox // n) % n
+            kk = vox % n
+            base = jnp.stack([ii, jj, kk], -1) * s  # (K, 3)
+            pts = base[:, None, :] + offs[None, :, :]  # (K, 27, 3)
+
+            f_sel = features[gprop]  # (K, c)
+            c_sel = cls_codes[gprop]  # (K, nc)
+            coords = to_coords(pts)
+            if K <= chunk_rows:
+                v_l = decode_fn(f_sel, c_sel, coords).astype(jnp.float32)
+            else:
+                v_l = jnp.concatenate(
+                    [
+                        decode_fn(
+                            f_sel[k: k + chunk_rows],
+                            c_sel[k: k + chunk_rows],
+                            coords[k: k + chunk_rows],
+                        ).astype(jnp.float32)
+                        for k in range(0, K, chunk_rows)
+                    ],
+                    axis=0,
+                )  # (K, 27)
+
+            tgt = jnp.where(gvalid[:, None, None], pts, R + 1)
+            gp = jnp.where(gvalid, gprop, Nb)
+            values = values.at[
+                gp[:, None], tgt[..., 0], tgt[..., 1], tgt[..., 2]
+            ].set(v_l, mode="drop")
+            known = known.at[
+                gp[:, None], tgt[..., 0], tgt[..., 1], tgt[..., 2]
+            ].set(True, mode="drop")
+
+        # ---------------------------------------- ancestor fill (to_dense)
+        for l in range(steps):
+            s = 2 ** (steps - l)
+            h = s // 2
+            src = ((np.arange(0, R + 1, h) // s) * s).astype(np.int32)
+            coarse = values[
+                :, src[:, None, None], src[None, :, None], src[None, None, :]
+            ]
+            sub = values[:, ::h, ::h, ::h]
+            kn = known[:, ::h, ::h, ::h]
+            values = values.at[:, ::h, ::h, ::h].set(
+                jnp.where(kn, sub, coarse)
+            )
+            known = known.at[:, ::h, ::h, ::h].set(True)
+
+        grids = _narrow(values)
+        bits, vals, needed = sparsify_grids(
+            grids, logit_thresh, int(sparse_budget), valid=valid
+        )
+        return bits, vals, needed, jnp.stack(totals)
+
+    return run
+
+
 def sparsify_grids(grids: jax.Array, iso: float, budget: int, valid=None):
     """Transfer-sparsification of dense occupancy-logit grids (the
     protocol path's dominant device->host payload): marching cubes only

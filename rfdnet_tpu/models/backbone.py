@@ -16,6 +16,10 @@ class Pointnet2Backbone(nn.Module):
     input_feature_dim: int = 1
     bn_axis_name: str | None = None
     fps_impl: str | None = None
+    mlp_dtype: str | None = None  # "bfloat16": bf16 MXU operands + bf16
+    # activation chains in the shared MLPs (f32 accumulate/BN stats; FPS,
+    # ball query and all coordinates stay f32). Throughput mode — off by
+    # default for reference-parity numerics.
 
     @nn.compact
     def __call__(self, pointcloud, train: bool, bn_momentum=None):
@@ -28,7 +32,8 @@ class Pointnet2Backbone(nn.Module):
             if pointcloud.shape[-1] > 3
             else None
         )
-        kw = dict(bn_axis_name=self.bn_axis_name)
+        kw = dict(bn_axis_name=self.bn_axis_name,
+                  compute_dtype=self.mlp_dtype)
         end_points = {}
 
         sa1 = SetAbstraction(

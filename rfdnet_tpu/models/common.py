@@ -90,6 +90,7 @@ class BatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool, momentum=None):
         features = x.shape[-1]
+        in_dtype = x.dtype
         reduce_axes = tuple(range(x.ndim - 1))
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
@@ -100,9 +101,13 @@ class BatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
 
+        # stats always accumulate in f32: a bf16 mean over B*N*ns elements
+        # (bf16 activation chains, `compute_dtype`) would round to ~3
+        # decimal digits and corrupt the running estimates
+        x32 = x.astype(jnp.float32) if in_dtype != jnp.float32 else x
         if train:
-            mean = jnp.mean(x, axis=reduce_axes)
-            mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes)
+            mean = jnp.mean(x32, axis=reduce_axes)
+            mean_sq = jnp.mean(jnp.square(x32), axis=reduce_axes)
             if self.axis_name is not None:
                 mean = jax.lax.pmean(mean, self.axis_name)
                 mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
@@ -118,8 +123,11 @@ class BatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        # bf16 chains stay bf16 through BN/ReLU so activations never
+        # round-trip f32 through HBM (the normalization math stayed f32)
+        return y.astype(in_dtype)
 
 
 class SharedMLP(nn.Module):
@@ -132,11 +140,14 @@ class SharedMLP(nn.Module):
     features: Sequence[int]
     bn: bool = True
     bn_axis_name: str | None = None
+    compute_dtype: str | None = None  # "bfloat16": bf16 MXU operands +
+    # bf16 activation chain, f32 accumulate/BN-stats (throughput mode)
 
     @nn.compact
     def __call__(self, x, train: bool, bn_momentum=None):
         for i, f in enumerate(self.features):
-            x = Dense(f, use_bias=not self.bn, name=f"dense{i}")(x)
+            x = Dense(f, use_bias=not self.bn, name=f"dense{i}",
+                      compute_dtype=self.compute_dtype)(x)
             if self.bn:
                 x = BatchNorm(axis_name=self.bn_axis_name, name=f"bn{i}")(
                     x, train, bn_momentum

@@ -108,14 +108,19 @@ class ISCNet(nn.Module):
     bn_axis_name: str | None = None
     fps_impl: str | None = None
     decoder_dtype: str | None = None  # "bfloat16": MXU fast decode path
+    mlp_dtype: str | None = None  # "bfloat16": bf16 operand/activation
+    # chains in the backbone/voting/aggregation shared MLPs (f32
+    # accumulate + f32 BN stats + f32 geometry heads). Train-throughput
+    # mode (`data.mlp_bf16` in configs); default f32 for parity.
 
     def setup(self):
         kw = dict(bn_axis_name=self.bn_axis_name)
         self.backbone = Pointnet2Backbone(
             input_feature_dim=self.input_feature_dim,
-            fps_impl=self.fps_impl, **kw,
+            fps_impl=self.fps_impl, mlp_dtype=self.mlp_dtype, **kw,
         )
-        self.voting = VotingModule(vote_factor=self.vote_factor, **kw)
+        self.voting = VotingModule(vote_factor=self.vote_factor,
+                                   mlp_dtype=self.mlp_dtype, **kw)
         self.detection = ProposalModule(
             num_class=self.num_class,
             num_heading_bin=self.num_heading_bin,
@@ -123,6 +128,7 @@ class ISCNet(nn.Module):
             num_proposal=self.num_proposal,
             sampling=self.cluster_sampling,
             fps_impl=self.fps_impl,
+            mlp_dtype=self.mlp_dtype,
             **kw,
         )
         if self.phase == "completion":
@@ -131,6 +137,7 @@ class ISCNet(nn.Module):
                     c_dim=self.c_dim,
                     hidden_dim=self.hidden_dim,
                     input_feature_dim=self.completion_feature_dim,
+                    mlp_dtype=self.mlp_dtype,
                     **kw,
                 )
             self.completion = ONet(

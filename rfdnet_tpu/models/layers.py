@@ -26,6 +26,7 @@ class ResnetBlockFC(nn.Module):
 
     size_out: int | None = None
     size_h: int | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -33,14 +34,17 @@ class ResnetBlockFC(nn.Module):
         size_out = self.size_out or size_in
         size_h = self.size_h or min(size_in, size_out)
         xr = nn.relu(x)
-        net = Dense(size_h, name="fc_0")(xr)
-        dx = Dense(size_out, kernel_init=nn.initializers.zeros, name="fc_1")(
+        net = Dense(size_h, name="fc_0",
+                    compute_dtype=self.compute_dtype)(xr)
+        dx = Dense(size_out, kernel_init=nn.initializers.zeros, name="fc_1",
+                   compute_dtype=self.compute_dtype)(
             nn.relu(net)
         )
         if size_in == size_out:
-            x_s = xr
+            x_s = xr.astype(dx.dtype)
         else:
-            x_s = Dense(size_out, use_bias=False, name="shortcut")(xr)
+            x_s = Dense(size_out, use_bias=False, name="shortcut",
+                        compute_dtype=self.compute_dtype)(xr)
         return x_s + dx
 
 
@@ -155,6 +159,7 @@ class ResnetPointnet(nn.Module):
 
     c_dim: int = 512
     hidden_dim: int = 512
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, p):
@@ -164,13 +169,21 @@ class ResnetPointnet(nn.Module):
                 [net, jnp.broadcast_to(pooled, net.shape)], axis=-1
             )
 
-        net = Dense(2 * self.hidden_dim, name="fc_pos")(p)
+        if self.compute_dtype is not None:
+            p = p.astype(self.compute_dtype)
+        net = Dense(2 * self.hidden_dim, name="fc_pos",
+                    compute_dtype=self.compute_dtype)(p)
         for i in range(4):
-            net = ResnetBlockFC(size_out=self.hidden_dim, name=f"block_{i}")(net)
+            net = ResnetBlockFC(size_out=self.hidden_dim, name=f"block_{i}",
+                                compute_dtype=self.compute_dtype)(net)
             net = pool_cat(net)
-        net = ResnetBlockFC(size_out=self.hidden_dim, name="block_4")(net)
+        net = ResnetBlockFC(size_out=self.hidden_dim, name="block_4",
+                            compute_dtype=self.compute_dtype)(net)
         net = max_pool_points(net, axis=1)
-        return Dense(self.c_dim, name="fc_c")(nn.relu(net))
+        # conditioning codes are f32 downstream (ONet/CBN inputs)
+        return Dense(self.c_dim, name="fc_c")(
+            nn.relu(net).astype(jnp.float32)
+        )
 
 
 class DecoderCBatchNorm(nn.Module):

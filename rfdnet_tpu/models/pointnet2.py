@@ -45,6 +45,7 @@ class SetAbstraction(nn.Module):
     normalize_xyz: bool = False
     bn_axis_name: str | None = None
     fps_impl: str | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, xyz, features, train: bool, bn_momentum=None, inds=None):
@@ -63,7 +64,14 @@ class SetAbstraction(nn.Module):
             use_xyz=self.use_xyz,
             normalize_xyz=self.normalize_xyz,
         )
-        out = SharedMLP(self.mlp, bn_axis_name=self.bn_axis_name, name="mlp")(
+        if self.compute_dtype is not None:
+            # narrow the grouped slab BEFORE the MLP so the (B,np,ns,C)
+            # gather output — the layer's dominant HBM tensor — is written
+            # once in the narrow dtype (coordinates/features at SA radii
+            # are O(1); bf16 rounding is ~1e-3 relative)
+            grouped = grouped.astype(self.compute_dtype)
+        out = SharedMLP(self.mlp, bn_axis_name=self.bn_axis_name, name="mlp",
+                        compute_dtype=self.compute_dtype)(
             grouped, train, bn_momentum
         )  # (B, np, ns, mlp[-1])
         if self.pooling == "max":
@@ -80,7 +88,9 @@ class SetAbstraction(nn.Module):
             )
         else:
             raise ValueError(f"unknown pooling {self.pooling}")
-        return new_xyz, new_features, inds
+        # hand downstream consumers (voting head, proposal features,
+        # skip propagation) f32: the pooled tensor is small (B, np, C)
+        return new_xyz, new_features.astype(jnp.float32), inds
 
 
 class SetAbstractionMSG(nn.Module):
@@ -121,6 +131,7 @@ class FeaturePropagation(nn.Module):
 
     mlp: Sequence[int]
     bn_axis_name: str | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
@@ -131,9 +142,11 @@ class FeaturePropagation(nn.Module):
             new = jnp.concatenate([interpolated, unknown_feats], axis=-1)
         else:
             new = interpolated
-        return SharedMLP(self.mlp, bn_axis_name=self.bn_axis_name, name="mlp")(
+        out = SharedMLP(self.mlp, bn_axis_name=self.bn_axis_name, name="mlp",
+                        compute_dtype=self.compute_dtype)(
             new, train, bn_momentum
         )
+        return out.astype(jnp.float32)
 
 
 class GroupSTN3d(nn.Module):
@@ -145,6 +158,7 @@ class GroupSTN3d(nn.Module):
     """
 
     bn_axis_name: str | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, grouped_xyz, train: bool, bn_momentum=None):
@@ -152,13 +166,15 @@ class GroupSTN3d(nn.Module):
         x = grouped_xyz.reshape(B * P, S, 3)
         h = x
         for i, f in enumerate([64, 128, 256]):
-            h = Dense(f, name=f"conv{i + 1}")(h)
+            h = Dense(f, name=f"conv{i + 1}",
+                      compute_dtype=self.compute_dtype)(h)
             h = BatchNorm(axis_name=self.bn_axis_name, name=f"bn{i + 1}")(
                 h, train, bn_momentum
             )
             h = nn.relu(h)
         h = max_pool_points(h, axis=1)  # (B*P, 256)
         zeros = nn.initializers.zeros
+        h = h.astype(jnp.float32)  # transform head stays f32 (geometry)
         for i, f in enumerate([128, 64]):
             h = Dense(f, kernel_init=zeros, name=f"fc{i + 1}")(h)
             h = BatchNorm(axis_name=self.bn_axis_name, name=f"bn{i + 4}")(
@@ -186,6 +202,7 @@ class STNGroup(nn.Module):
     nsample: int = 1024
     normalize_xyz: bool = True
     bn_axis_name: str | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, xyz, features, new_xyz, orientations, train: bool,
@@ -207,7 +224,8 @@ class STNGroup(nn.Module):
         ry = -s[..., None] * x + c[..., None] * y
         grouped_xyz = jnp.stack([rx, ry, z], axis=-1)
 
-        grouped_xyz = GroupSTN3d(bn_axis_name=self.bn_axis_name, name="stn3d")(
+        grouped_xyz = GroupSTN3d(bn_axis_name=self.bn_axis_name, name="stn3d",
+                                 compute_dtype=self.compute_dtype)(
             grouped_xyz, train, bn_momentum
         )
         return grouped_xyz, grouped_features

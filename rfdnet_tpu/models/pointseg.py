@@ -19,6 +19,7 @@ class _STN(nn.Module):
 
     k: int
     bn_axis_name: str | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool, bn_momentum=None):
@@ -26,19 +27,22 @@ class _STN(nn.Module):
         B = x.shape[0]
         h = x
         for i, f in enumerate([64, 128, 1024]):
-            h = Dense(f, name=f"conv{i + 1}")(h)
+            h = Dense(f, name=f"conv{i + 1}",
+                      compute_dtype=self.compute_dtype)(h)
             h = BatchNorm(axis_name=self.bn_axis_name, name=f"bn{i + 1}")(
                 h, train, bn_momentum
             )
             h = nn.relu(h)
         h = max_pool_points(h, axis=1)
         for i, f in enumerate([512, 256]):
-            h = Dense(f, name=f"fc{i + 1}")(h)
+            h = Dense(f, name=f"fc{i + 1}",
+                      compute_dtype=self.compute_dtype)(h)
             h = BatchNorm(axis_name=self.bn_axis_name, name=f"bn{i + 4}")(
                 h, train, bn_momentum
             )
             h = nn.relu(h)
-        h = Dense(self.k * self.k, name="fc3")(h)
+        # the transform head stays f32 (it produces a geometry matrix)
+        h = Dense(self.k * self.k, name="fc3")(h.astype(jnp.float32))
         iden = jnp.eye(self.k, dtype=jnp.float32).reshape(-1)
         return (h + iden).reshape(B, self.k, self.k)
 
@@ -48,6 +52,7 @@ class PointNetEncoder(nn.Module):
 
     channel: int = 4
     bn_axis_name: str | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool, bn_momentum=None):
@@ -55,7 +60,8 @@ class PointNetEncoder(nn.Module):
         (B, 64, 64))."""
         # STN3d consumes the FULL channel input but outputs a 3x3 transform
         # applied to xyz only (`pointseg.py:89-110`)
-        trans = _STN(k=3, bn_axis_name=self.bn_axis_name, name="stn")(
+        trans = _STN(k=3, bn_axis_name=self.bn_axis_name, name="stn",
+                     compute_dtype=self.compute_dtype)(
             x, train, bn_momentum
         )
         xyz = jnp.einsum("bnc,bcd->bnd", x[..., :3], trans)
@@ -63,18 +69,23 @@ class PointNetEncoder(nn.Module):
             x = jnp.concatenate([xyz, x[..., 3:]], axis=-1)
         else:
             x = xyz
-        h = Dense(64, name="conv1")(x)
+        h = Dense(64, name="conv1", compute_dtype=self.compute_dtype)(x)
         h = BatchNorm(axis_name=self.bn_axis_name, name="bn1")(h, train, bn_momentum)
         h = nn.relu(h)
-        trans_feat = _STN(k=64, bn_axis_name=self.bn_axis_name, name="fstn")(
+        trans_feat = _STN(k=64, bn_axis_name=self.bn_axis_name, name="fstn",
+                          compute_dtype=self.compute_dtype)(
             h, train, bn_momentum
         )
-        h = jnp.einsum("bnc,bcd->bnd", h, trans_feat)
+        # the 64x64 transform product accumulates in f32 (trans_feat is
+        # f32 by construction; h may be bf16)
+        h = jnp.einsum("bnc,bcd->bnd", h.astype(jnp.float32), trans_feat)
+        if self.compute_dtype is not None:
+            h = h.astype(self.compute_dtype)
         pointfeat = h
-        h = Dense(128, name="conv2")(h)
+        h = Dense(128, name="conv2", compute_dtype=self.compute_dtype)(h)
         h = BatchNorm(axis_name=self.bn_axis_name, name="bn2")(h, train, bn_momentum)
         h = nn.relu(h)
-        h = Dense(1024, name="conv3")(h)
+        h = Dense(1024, name="conv3", compute_dtype=self.compute_dtype)(h)
         h = BatchNorm(axis_name=self.bn_axis_name, name="bn3")(h, train, bn_momentum)
         glob = max_pool_points(h, axis=1, keepdims=True)  # (B, 1, 1024)
         glob = jnp.broadcast_to(glob, (h.shape[0], h.shape[1], 1024))
@@ -87,20 +98,24 @@ class PointSeg(nn.Module):
     num_class: int = 2
     channel: int = 4
     bn_axis_name: str | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool, bn_momentum=None):
         """x (B, N, channel) -> (log_probs (B, N, num_class), trans_feat)."""
         h, trans_feat = PointNetEncoder(
-            channel=self.channel, bn_axis_name=self.bn_axis_name, name="feat"
+            channel=self.channel, bn_axis_name=self.bn_axis_name, name="feat",
+            compute_dtype=self.compute_dtype,
         )(x, train, bn_momentum)
         for i, f in enumerate([512, 256, 128]):
-            h = Dense(f, name=f"conv{i + 1}")(h)
+            h = Dense(f, name=f"conv{i + 1}",
+                      compute_dtype=self.compute_dtype)(h)
             h = BatchNorm(axis_name=self.bn_axis_name, name=f"bn{i + 1}")(
                 h, train, bn_momentum
             )
             h = nn.relu(h)
-        h = Dense(self.num_class, name="conv4")(h)
+        # class logits stay f32 (log-softmax feeds the NLL mask loss)
+        h = Dense(self.num_class, name="conv4")(h.astype(jnp.float32))
         return nn.log_softmax(h, axis=-1), trans_feat
 
 

@@ -45,6 +45,7 @@ class ProposalModule(nn.Module):
     seed_feat_dim: int = 256
     bn_axis_name: str | None = None
     fps_impl: str | None = None
+    mlp_dtype: str | None = None
 
     @nn.compact
     def __call__(self, xyz, features, end_points, train: bool, bn_momentum=None,
@@ -55,6 +56,7 @@ class ProposalModule(nn.Module):
             npoint=self.num_proposal, radius=0.3, nsample=16,
             mlp=[128, 128, 128], normalize_xyz=True,
             bn_axis_name=self.bn_axis_name, fps_impl=self.fps_impl,
+            compute_dtype=self.mlp_dtype,
             name="vote_aggregation",
         )
         if self.sampling == "vote_fps":

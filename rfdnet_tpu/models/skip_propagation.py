@@ -23,18 +23,22 @@ class SkipPropagation(nn.Module):
     hidden_dim: int = 512
     input_feature_dim: int = 1  # height (+3 if use_color_completion)
     bn_axis_name: str | None = None
+    mlp_dtype: str | None = None  # "bfloat16": bf16 operand/activation
+    # chains in the STN/PointSeg/ResnetPointnet MLPs (geometry heads,
+    # logits, BN stats stay f32) — train-throughput mode
 
     def setup(self):
         self.stn = STNGroup(
             radius=1.0, nsample=1024, normalize_xyz=True,
-            bn_axis_name=self.bn_axis_name,
+            bn_axis_name=self.bn_axis_name, compute_dtype=self.mlp_dtype,
         )
         self.encoder = ResnetPointnet(
-            c_dim=self.c_dim, hidden_dim=self.hidden_dim
+            c_dim=self.c_dim, hidden_dim=self.hidden_dim,
+            compute_dtype=self.mlp_dtype,
         )
         self.point_seg = PointSeg(
             num_class=2, channel=self.input_feature_dim + 3,
-            bn_axis_name=self.bn_axis_name,
+            bn_axis_name=self.bn_axis_name, compute_dtype=self.mlp_dtype,
         )
 
     def _run(self, box_xyz, box_orientations, box_feature, input_point_cloud,

@@ -14,6 +14,7 @@ class VotingModule(nn.Module):
     vote_factor: int = 1
     in_dim: int = 256
     bn_axis_name: str | None = None
+    mlp_dtype: str | None = None
 
     @nn.compact
     def __call__(self, seed_xyz, seed_features, train: bool, bn_momentum=None):
@@ -23,12 +24,17 @@ class VotingModule(nn.Module):
         out_dim = self.in_dim
         net = seed_features
         for i in range(2):
-            net = Dense(self.in_dim, name=f"conv{i + 1}")(net)
+            net = Dense(self.in_dim, name=f"conv{i + 1}",
+                        compute_dtype=self.mlp_dtype)(net)
             net = BatchNorm(axis_name=self.bn_axis_name, name=f"bn{i + 1}")(
                 net, train, bn_momentum
             )
             net = nn.relu(net)
-        net = Dense((3 + out_dim) * self.vote_factor, name="conv3")(net)
+        # the offset/residual head stays f32 (its outputs are coordinates
+        # added to seed xyz — bf16 offsets would quantize vote geometry)
+        net = Dense((3 + out_dim) * self.vote_factor, name="conv3")(
+            net.astype(jnp.float32)
+        )
         net = net.reshape(B, num_seed, self.vote_factor, 3 + out_dim)
         offset = net[..., 0:3]
         vote_xyz = (seed_xyz[:, :, None, :] + offset).reshape(

@@ -744,3 +744,119 @@ def test_sparse_bits_respects_valid_mask():
     )(jnp.asarray(g), jnp.asarray([True, False]))
     counts = np.asarray(counts)
     assert counts[0] > 0 and counts[1] == 0
+
+
+def _sphere_decode_jnp(features, cls_codes, pts):
+    import jax.numpy as jnp
+
+    r = features[..., :1]
+    d = jnp.linalg.norm(pts, axis=-1)
+    return (r - d) * 20.0
+
+
+def test_mise_global_byte_identical_and_valid_gated():
+    """Device MISE v2 (global budgets + valid gating + transfer-sparse
+    download, VERDICT r4 item 2): meshes equal the dense-field extraction
+    bit for bit; invalid slots produce empty meshes and zero payload."""
+    import jax
+    import jax.numpy as jnp
+
+    from rfdnet_tpu.meshing.generator import Generator3D
+    from rfdnet_tpu.meshing.mise_device import make_mise_device
+
+    Nb = 4
+    feats = jnp.asarray(
+        np.linspace(0.15, 0.4, Nb, dtype=np.float32)[:, None]
+        * np.ones((Nb, 8), np.float32)
+    )
+    cls = jnp.zeros((Nb, 8), jnp.float32)
+    valid = np.array([True, False, True, True])
+
+    res0, steps = 8, 1
+    dense_fn = jax.jit(make_mise_device(
+        _sphere_decode_jnp, res0, steps, 0.5, 0.1,
+        budgets=[res0**3], output="dense",
+    ))
+    grids, _ = dense_fn(feats, cls)
+    g = Generator3D(_sphere_decode_jnp, resolution0=res0,
+                    upsampling_steps=steps, mise_impl="device")
+    ref = g.meshes_from_grids(np.asarray(grids).astype(np.float32),
+                              valid=valid)
+    got = g.generate_meshes(feats, cls, valid=valid)
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(a.vertices, b.vertices)
+        np.testing.assert_array_equal(
+            np.asarray(a.faces, np.int64), np.asarray(b.faces, np.int64)
+        )
+    assert len(got[1].vertices) == 0  # gated invalid slot
+    assert len(got[0].vertices) > 0
+
+
+def test_mise_global_budget_doubling_recovers():
+    """Deliberately tiny initial budgets: the adaptive loop re-dispatches
+    at doubled budgets (instead of falling back to the host octree) and
+    still produces the exact meshes."""
+    import jax
+    import jax.numpy as jnp
+
+    from rfdnet_tpu.meshing.generator import Generator3D
+    from rfdnet_tpu.meshing.mise_device import make_mise_device
+
+    Nb = 2
+    feats = jnp.asarray(
+        np.array([[0.3], [0.42]], np.float32) * np.ones((Nb, 8), np.float32)
+    )
+    cls = jnp.zeros((Nb, 8), jnp.float32)
+
+    res0, steps = 8, 1
+    dense_fn = jax.jit(make_mise_device(
+        _sphere_decode_jnp, res0, steps, 0.5, 0.1,
+        budgets=[res0**3], output="dense",
+    ))
+    grids, _ = dense_fn(feats, cls)
+    g = Generator3D(_sphere_decode_jnp, resolution0=res0,
+                    upsampling_steps=steps, mise_impl="device",
+                    mise_budgets=[8])  # absurdly small on purpose
+    ref = g.meshes_from_grids(np.asarray(grids).astype(np.float32))
+    got = g.generate_meshes(feats, cls)
+    assert g._mise_v2_budgets[0] > 8  # the loop actually grew it
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a.vertices, b.vertices)
+        np.testing.assert_array_equal(
+            np.asarray(a.faces, np.int64), np.asarray(b.faces, np.int64)
+        )
+
+
+def test_sparse_grid_fetcher_prefix_slicing():
+    """SparseGridFetcher: counts-sized valid-prefix downloads re-pad to
+    arrays byte-equivalent to the full downloads (invalid rows zero, but
+    those rows are masked by every consumer)."""
+    import jax.numpy as jnp
+
+    from rfdnet_tpu.meshing.mise_device import sparsify_grids
+    from rfdnet_tpu.meshing.transfer import SparseGridFetcher
+
+    rng = np.random.RandomState(0)
+    n = 16
+    g = rng.randn(6, n, n, n).astype(np.float16) * 3
+    valid = np.array([True, True, True, False, False, False])
+    bits, vals, counts = sparsify_grids(
+        jnp.asarray(g), 0.0, 1 << 16, valid=jnp.asarray(valid)
+    )
+    f = SparseGridFetcher(vals_step=1024)
+    res = f.fetch(bits, vals, np.asarray(counts), valid)
+    assert res is not None
+    bits_np, vals_np, _ = res
+    full_bits = np.asarray(bits)
+    total = int(np.asarray(counts).sum())
+    # rows inside the pow2 bucket (4 for a 3-row prefix) byte-identical;
+    # rows past the bucket zero-filled
+    np.testing.assert_array_equal(bits_np[:4], full_bits[:4])
+    assert not bits_np[4:].any()
+    np.testing.assert_array_equal(
+        vals_np[:total], np.asarray(vals)[:total]
+    )
+    assert len(vals_np) >= total
+    assert f.last_bytes < full_bits.nbytes + np.asarray(vals).nbytes
+    # overflow (counts exceed the shipped buffer) -> None
+    assert f.fetch(bits, vals[:1], np.asarray(counts) + 10**6, valid) is None

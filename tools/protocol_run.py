@@ -53,6 +53,10 @@ def _stage_yaml(split_dir, shapenet, out_dir, *, phase, lr, epochs, batch,
             "num_point": N_POINTS,
             "split": split_dir,
             "shapenet_path": shapenet,
+            # the protocol set (160 scenes, 32 shapes) fits in ~1 GB:
+            # cache every decoded npz per worker (the decode was ~40% of
+            # the measured 292 ms/item on the 1-core host)
+            "cache_scans": 512,
         },
         "train": {"phase": phase, "batch_size": batch, "epochs": epochs,
                   "freeze": list(freeze)},
