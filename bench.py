@@ -162,8 +162,20 @@ def _find_trained_ckpt() -> str | None:
         return path if os.path.isdir(path) else None
     import glob
 
-    cands = sorted(glob.glob("out/protocol_run/stage3_joint/*/model_best"))
-    return cands[-1] if cands else None
+    # fallback chain: if the 3-stage chain was interrupted mid-run the
+    # bench still uses the furthest trained weights available (the tag in
+    # the JSON records exactly which stage/checkpoint was used)
+    for pat in (
+        "out/protocol_run/stage3_joint/*/model_best",
+        "out/protocol_run/stage3_joint/*/model_last",
+        "out/protocol_run/stage2_completion/*/model_best",
+        "out/protocol_run/stage2_completion/*/model_last",
+        "out/protocol_run/stage1_detection/*/model_best",
+    ):
+        cands = sorted(glob.glob(pat))
+        if cands:
+            return cands[-1]
+    return None
 
 
 def _load_trained(variables):
@@ -770,6 +782,35 @@ def bench_train() -> dict:
     return out
 
 
+def bench_serve8() -> dict:
+    """8-way data-parallel serving overhead (VERDICT r4 item 8) on the
+    virtual 8-device CPU mesh, via a fresh subprocess so the platform /
+    device-count env applies (tools/bench_serve8.py). Relative
+    per-device overhead is the hardware-meaningful number; skipped
+    gracefully if the subprocess fails or times out."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "bench_serve8.py")],
+            capture_output=True, text=True, timeout=1200,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        d = json.loads(line)
+        return {
+            "serve8_per_device_overhead": d["per_device_overhead"],
+            "serve8_note": f"{d['n_devices']}-way batch-sharded fused "
+                f"generate vs single device (virtual CPU mesh, "
+                f"{d['points']} pts): t8={d['t_sharded_batch_s']}s "
+                f"t1={d['t_single_scene_s']}s — {d['note']}",
+        }
+    except Exception as e:
+        return {"serve8_per_device_overhead": None,
+                "serve8_note": f"skipped ({e!r})"}
+
+
 def main() -> None:
     _enable_compile_cache()
     link = measure_link()
@@ -784,6 +825,7 @@ def main() -> None:
     device_s = bench_protocol_device_only()
     demo = bench_demo_scale()
     train_lines = bench_train()
+    serve8 = bench_serve8()
     ref_bound, ref_note = measure_ref_bound()
 
     # bare-metal projection (VERDICT r4 item 1): on-host deployment the
@@ -838,6 +880,7 @@ def main() -> None:
                 mise_stages["bytes_down"]
             ),
             **train_lines,
+            **serve8,
             "vs_baseline_denominator": f"{round(ref_bound, 4)}/s — "
                 f"{ref_note}; see BASELINE.md",
             "protocol": "generate_limit=64, remove_empty_box, conf 0.05, "
