@@ -58,6 +58,10 @@ _DEFAULTS: dict[str, Any] = {
         "use_cls_for_completion": False,
         "skip_propagate": True,
         "decoder_bf16": False,
+        # bf16 operand/activation chains in the backbone/voting/agg/
+        # skip-prop shared MLPs (f32 accumulate + BN stats + geometry
+        # heads) — train-throughput mode; f32 default for parity
+        "mlp_bf16": False,
     },
     "model": {},
     "optimizer": {
@@ -180,6 +184,7 @@ class Config:
             completion_limit=d["completion_limit_in_train"],
             generate_limit=generate_limit,
             decoder_dtype="bfloat16" if d.get("decoder_bf16") else None,
+            mlp_dtype="bfloat16" if d.get("mlp_bf16") else None,
             bn_axis_name=bn_axis_name,
             fps_impl=fps_impl,
         )

@@ -110,6 +110,22 @@ class CheckpointIO:
     def save_best(self, state, meta=None):
         self.save("model_best", state, meta)
 
+    def copy(self, src_name: str, dst_name: str):
+        """Duplicate one saved checkpoint dir into another name via a local
+        filesystem copy (atomic rename). When the device is reached over a
+        network tunnel the dominant checkpoint cost is the device->host
+        state download, so "best improved AND it's a save_last epoch" should
+        download once and copy, not download twice."""
+        import shutil
+
+        src, dst = self._path(src_name), self._path(dst_name)
+        tmp = dst + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(src, tmp)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.replace(tmp, dst)
+
     def resume(self, state_template):
         """Scan sibling run dirs (newest first) for a model_last checkpoint;
         return (state, meta) or (None, None)."""

@@ -242,11 +242,28 @@ def train(cfg, model, dataset_config, train_loader, val_loader,
                 "epoch": epoch,
             }, epoch)
         if checkpoint is not None:
-            meta = {"epoch": epoch, "min_loss": float(min(min_loss, eval_loss)),
-                    "lr": trainer.plateau.lr}
-            checkpoint.save_last(trainer.state, meta)
-            if eval_loss < min_loss:
-                min_loss = eval_loss
-                checkpoint.save_best(trainer.state, meta)
-                log(f"epoch {epoch}: new best val loss {eval_loss:.4f}")
+            # Checkpoint cadence (`log.save_step`, default 1 = the
+            # reference's save-last-every-epoch, `train_epoch.py:78-93`).
+            # On a tunneled device the save cost is dominated by the
+            # device->host state download (~160 MB for the completion
+            # stage), so: one `jax.device_get` per save event, model_best
+            # written on improvement with model_last refreshed by a local
+            # dir copy, and pure model_last saves only every save_step
+            # epochs (always on the final epoch, which downstream stages
+            # finetune from).
+            save_step = int(cfg.config["log"].get("save_step", 1))
+            improved = eval_loss < min_loss
+            last_due = ((epoch + 1) % save_step == 0) or (epoch == epochs - 1)
+            if improved or last_due:
+                host_state = jax.device_get(trainer.state)
+                meta = {"epoch": epoch,
+                        "min_loss": float(min(min_loss, eval_loss)),
+                        "lr": trainer.plateau.lr}
+                if improved:
+                    min_loss = eval_loss
+                    checkpoint.save_best(host_state, meta)
+                    log(f"epoch {epoch}: new best val loss {eval_loss:.4f}")
+                    checkpoint.copy("model_best", "model_last")
+                else:
+                    checkpoint.save_last(host_state, meta)
     return trainer

@@ -321,6 +321,32 @@ def test_checkpoint_roundtrip_and_partial_load(tmp_path, setup):
     assert meta2["epoch"] == 3
 
 
+def test_checkpoint_copy_best_to_last(tmp_path, setup):
+    """`CheckpointIO.copy`: the save-cadence path writes model_best on
+    improvement and refreshes model_last by a LOCAL dir copy (one
+    device->host download per save event — the download dominates
+    checkpoint cost on a tunneled device). The copy must be loadable,
+    leaf-identical, and must atomically replace a stale model_last."""
+    from rfdnet_tpu.train.checkpoint import CheckpointIO
+
+    dc, model, batch, tx, state = setup
+    ckpt = CheckpointIO(str(tmp_path / "run1"), log=lambda m: None)
+    # a stale model_last exists from an earlier epoch
+    ckpt.save_last(state, {"epoch": 1, "min_loss": 9.0})
+    ckpt.save_best(state, {"epoch": 5, "min_loss": 1.25})
+    ckpt.copy("model_best", "model_last")
+    restored, meta = ckpt.load(str(tmp_path / "run1" / "model_last"))
+    assert meta == {"epoch": 5, "min_loss": 1.25}
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resume still finds it (the cadence path's contract with resume)
+    st, meta2 = ckpt.resume(state)
+    assert meta2["epoch"] == 5
+
+
 def test_visualize_step_host_batch(tmp_path):
     """Trainer.visualize_step end-to-end on the virtual mesh with a HOST
     numpy batch: the vis jit declares the same in_shardings as the

@@ -31,6 +31,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -46,7 +47,7 @@ N_POINTS = 80_000  # the reference's num_point (`ISCNet.yaml:13`)
 
 
 def _stage_yaml(split_dir, shapenet, out_dir, *, phase, lr, epochs, batch,
-                freeze=(), weight=(), extra=None, seed=10):
+                freeze=(), weight=(), extra=None, seed=10, save_step=1):
     cfg = {
         "seed": seed,
         "data": {
@@ -64,7 +65,10 @@ def _stage_yaml(split_dir, shapenet, out_dir, *, phase, lr, epochs, batch,
         "optimizer": {"lr": lr},
         "scheduler": {"patience": 20, "factor": 0.1, "threshold": 0.01},
         "device": {"num_workers": 8},
-        "log": {"path": out_dir, "print_step": 16},
+        # save_step > 1 amortizes the tunnel-bound model_last download
+        # (model_best still saves on every improvement; the final epoch
+        # always saves, so stage chaining sees a fresh model_last)
+        "log": {"path": out_dir, "print_step": 16, "save_step": save_step},
         "finetune": bool(weight),
         "weight": list(weight),
         # resume-first boot: interrupted stages pick up at their last
@@ -81,6 +85,59 @@ def _stage_yaml(split_dir, shapenet, out_dir, *, phase, lr, epochs, batch,
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
     return path
+
+
+def _run_train(yaml_path, total_epochs, chunk, retries=3):
+    """Train one stage as a sequence of SUBPROCESS chunks toward an
+    absolute epoch target.
+
+    The in-process epoch loop accumulates host memory (the r4 rehearsal
+    OOMed at stage-2 epoch 33 and the r5 first attempt at epoch 50, both
+    with >90% of the 125 GB host RSS in the training process); process
+    isolation bounds the damage to one chunk, and `resume: True` + the
+    multi-run-dir schedule stitching make chunking exact: each chunk
+    resumes at the newest model_last and trains toward `epochs`, chunk
+    boundaries always checkpoint (the loop saves on the final epoch).
+    A chunk that dies (OOM, transient device error) is retried from its
+    own checkpoint up to `retries` times across the stage."""
+    import yaml as _yaml
+
+    cfg = _yaml.safe_load(open(yaml_path))
+    ends = list(range(chunk, total_epochs, chunk)) + [total_epochs]
+    # skip chunk targets a resumed stage has already passed (best-effort
+    # peek at the newest run dir's log; chunk targets are absolute epoch
+    # counts, so an off-by-save_step peek cannot lose epochs)
+    done = -1
+    for run in sorted(glob.glob(os.path.join(cfg["log"]["path"], "*")),
+                      reverse=True):
+        log_path = os.path.join(run, "log.txt")
+        if os.path.isfile(log_path):
+            eps = re.findall(r"train epoch (\d+) done",
+                             open(log_path).read())
+            if eps:
+                done = int(eps[-1])
+                break
+    ends = [e for e in ends if e > done + 1] or [total_epochs]
+    budget = retries
+    for end in ends:
+        cfg["train"]["epochs"] = end
+        with open(yaml_path, "w") as f:
+            _yaml.safe_dump(cfg, f)
+        while True:
+            r = subprocess.run(
+                [sys.executable, "-m", "rfdnet_tpu",
+                 "--config", yaml_path, "--mode", "train"],
+            )
+            if r.returncode == 0:
+                break
+            budget -= 1
+            print(f"chunk (target epoch {end}) exited {r.returncode}; "
+                  f"{budget} retries left", flush=True)
+            if budget < 0:
+                raise RuntimeError(
+                    f"stage failed at chunk target {end} "
+                    f"(exit {r.returncode})"
+                )
 
 
 def _run_dir(out_dir):
@@ -149,6 +206,16 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=10)
     p.add_argument("--skip-to", type=int, default=1,
                    help="resume chain at stage N (prior run dirs must exist)")
+    p.add_argument("--chunk", type=int, default=40,
+                   help="epochs per training subprocess (process-isolates "
+                        "the epoch loop's host-memory growth)")
+    p.add_argument("--save-step", type=int, default=1,
+                   help="save model_last every N epochs (best: every "
+                        "improvement; final epoch: always)")
+    p.add_argument("--stage3-threshold", type=float, default=0.01,
+                   help="plateau rel-threshold for the joint stage "
+                        "(tightening it makes the patience path fire within "
+                        "a short joint refine — VERDICT r4 item 4)")
     args = p.parse_args(argv)
     args.root = os.path.abspath(args.root)
     args.out = os.path.abspath(args.out)
@@ -167,10 +234,10 @@ def main(argv=None):
     if args.skip_to <= 1:
         y1 = _stage_yaml(split_dir, shapenet, out1, phase="detection",
                          lr=1e-3, epochs=args.epochs[0], batch=args.batch,
-                         seed=args.seed)
+                         seed=args.seed, save_step=args.save_step)
         print(f"=== stage 1: detection, {args.epochs[0]} epochs ===",
               flush=True)
-        cli.main(["--config", y1, "--mode", "train"])
+        _run_train(y1, args.epochs[0], args.chunk)
     run1 = _run_dir(out1)
     results["stages"]["detection"] = _schedule_evidence(out1)
 
@@ -182,10 +249,11 @@ def main(argv=None):
             epochs=args.epochs[1], batch=args.batch, seed=args.seed,
             freeze=("backbone", "voting", "detection"),
             weight=(os.path.join(run1, "model_best"),),
+            save_step=args.save_step,
         )
         print(f"=== stage 2: completion, {args.epochs[1]} epochs ===",
               flush=True)
-        cli.main(["--config", y2, "--mode", "train"])
+        _run_train(y2, args.epochs[1], args.chunk)
     run2 = _run_dir(out2)
     results["stages"]["completion"] = _schedule_evidence(out2)
 
@@ -196,10 +264,12 @@ def main(argv=None):
             split_dir, shapenet, out3, phase="completion", lr=5e-5,
             epochs=args.epochs[2], batch=args.batch, seed=args.seed,
             weight=(os.path.join(run2, "model_last"),),
-            extra={"model": {"completion": {"weight": 0.005}}},
+            extra={"model": {"completion": {"weight": 0.005}},
+                   "scheduler": {"threshold": args.stage3_threshold}},
+            save_step=args.save_step,
         )
         print(f"=== stage 3: joint, {args.epochs[2]} epochs ===", flush=True)
-        cli.main(["--config", y3, "--mode", "train"])
+        _run_train(y3, args.epochs[2], args.chunk)
     run3 = _run_dir(out3)
     results["stages"]["joint"] = _schedule_evidence(out3)
 
